@@ -1,0 +1,186 @@
+"""Typed configuration system.
+
+Replaces the reference's TF1-era ``tf.app.flags`` constants (SURVEY.md R19)
+with frozen dataclasses. One preset per BASELINE.json eval config
+(BASELINE.json:7-11); every field overridable from the CLI via
+``--set section.field=value`` (see cli/).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Sequence
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Architecture of the pose-conditioned encoder-decoder (SURVEY.md R6-R13)."""
+
+    image_size: int = 128            # H == W
+    base_features: int = 32          # encoder level-0 channels
+    max_features: int = 256          # channel cap deeper in the stack
+    num_levels: int = 5              # stride-2 downsamplings (128 -> 4)
+    gru_features: int = 256          # ConvGRU state channels at the bottleneck
+    pose_embed_dim: int = 64         # MLP embedding of the encoded pose
+    pose_mode: str = "sincos"        # "sincos" (az/el/r) | "mat" (flat 4x4)
+    norm: str = "group"              # "group" | "none"  (no batch stats -> DP-safe)
+    max_flow: float = 0.5            # flow head range as a fraction of image size
+    predict_depth: bool = False      # enable depth head + depth-reprojection path
+    use_pallas: bool = True          # Pallas kernels on TPU, jnp fallback elsewhere
+    dtype: str = "bfloat16"          # compute dtype (params stay float32)
+
+    @property
+    def bottleneck_size(self) -> int:
+        return self.image_size // (2 ** self.num_levels)
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    """Input pipeline (SURVEY.md R1-R5 -> T1)."""
+
+    source: str = "synthetic"        # "synthetic" | "frames" (frame-folder video)
+    root: str = ""                   # dataset root for source="frames"
+    image_size: int = 128
+    seq_len: int = 1                 # T: input video frames
+    num_targets: int = 1             # K: novel views per example
+    batch_size: int = 16             # GLOBAL batch (split over the data mesh axis)
+    num_scenes: int = 512            # synthetic: distinct procedural scenes
+    dynamic: bool = False            # synthetic: objects move over the sequence
+    seed: int = 0
+    grain_workers: int = 4           # host-side decode worker count
+    prefetch: int = 2
+    use_native_packer: bool = True   # C++ decode/pack path when the .so is built
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Losses + optimizer + checkpointing (SURVEY.md R13-R16 -> T4)."""
+
+    lr: float = 2e-4
+    beta1: float = 0.9
+    beta2: float = 0.999
+    weight_decay: float = 0.0
+    l1_weight: float = 1.0
+    mask_weight: float = 0.1         # BCE(mask, warp-validity) weight
+    smooth_weight: float = 0.0       # optional flow smoothness
+    num_steps: int = 100_000
+    log_every: int = 100
+    ckpt_every: int = 1000
+    ckpt_dir: str = "/tmp/dmv3d_ckpt"
+    max_to_keep: int = 3
+    remat: bool = False              # jax.checkpoint on the scan body (long T)
+    fail_after_step: int = -1        # fault injection for resume tests (-1 = off)
+    seed: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Device mesh (SURVEY.md §2b). data = DP axis; model = optional channel
+
+    sharding on the widest convs/dense layers (kept 1 by default — the net is
+    small; the axis exists so multi-chip plumbing is exercised end to end)."""
+
+    data: int = -1                   # -1: all remaining devices
+    model: int = 1
+    multihost: bool = False          # call jax.distributed.initialize()
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+    mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
+    name: str = "default"
+
+
+def _replace(cfg: Any, path: str, value: Any) -> Any:
+    """Immutable deep-replace: _replace(cfg, 'model.image_size', 64)."""
+    head, _, rest = path.partition(".")
+    if rest:
+        return dataclasses.replace(cfg, **{head: _replace(getattr(cfg, head), rest, value)})
+    old = getattr(cfg, head)
+    if old is not None and not isinstance(value, type(old)):
+        if isinstance(old, bool):
+            value = str(value).lower() in ("1", "true", "yes")
+        else:
+            value = type(old)(value)
+    return dataclasses.replace(cfg, **{head: value})
+
+
+def override(cfg: Config, overrides: Sequence[str]) -> Config:
+    """Apply CLI-style 'a.b.c=v' overrides."""
+    for item in overrides:
+        path, _, value = item.partition("=")
+        cfg = _replace(cfg, path.strip(), value.strip())
+    return cfg
+
+
+# ---------------------------------------------------------------------------
+# Presets: one per BASELINE.json eval config (lines 7-11).
+# ---------------------------------------------------------------------------
+
+def config1_single_view_64() -> Config:
+    """BASELINE.json:7 — 1 image -> 1 novel view, 64x64, batch=1, CPU forward."""
+    return Config(
+        name="c1_single64",
+        model=ModelConfig(image_size=64, num_levels=4, use_pallas=False,
+                          dtype="float32"),
+        data=DataConfig(image_size=64, seq_len=1, num_targets=1, batch_size=1),
+    )
+
+
+def config2_static_multiview_128() -> Config:
+    """BASELINE.json:8 — static multiview, 128x128 + 8 target poses, batch=16."""
+    return Config(
+        name="c2_static128",
+        model=ModelConfig(image_size=128, num_levels=5),
+        data=DataConfig(image_size=128, seq_len=1, num_targets=8, batch_size=16),
+    )
+
+
+def config3_dynamic_scan() -> Config:
+    """BASELINE.json:9 — dynamic: 8-frame sequence -> 4 views, scan, batch=8."""
+    return Config(
+        name="c3_dynamic",
+        model=ModelConfig(image_size=128, num_levels=5),
+        data=DataConfig(image_size=128, seq_len=8, num_targets=4, batch_size=8,
+                        dynamic=True),
+        train=TrainConfig(remat=True),
+    )
+
+
+def config4_train_dp8() -> Config:
+    """BASELINE.json:10 — full train step (L1+mask, fwd+bwd+Adam), 128², v5e-8 DP."""
+    return Config(
+        name="c4_train_dp8",
+        model=ModelConfig(image_size=128, num_levels=5),
+        data=DataConfig(image_size=128, seq_len=1, num_targets=2, batch_size=64),
+        mesh=MeshConfig(data=8),
+    )
+
+
+def config5_multihost_256() -> Config:
+    """BASELINE.json:11 — multi-host v5e-32, streamed video decode, 256² training."""
+    return Config(
+        name="c5_multihost256",
+        model=ModelConfig(image_size=256, num_levels=6),
+        data=DataConfig(image_size=256, seq_len=4, num_targets=2, batch_size=128,
+                        dynamic=True, source="frames"),
+        train=TrainConfig(remat=True),
+        mesh=MeshConfig(data=32, multihost=True),
+    )
+
+
+PRESETS = {
+    "c1": config1_single_view_64,
+    "c2": config2_static_multiview_128,
+    "c3": config3_dynamic_scan,
+    "c4": config4_train_dp8,
+    "c5": config5_multihost_256,
+    "default": Config,
+}
+
+
+def get_config(name: str = "default", overrides: Sequence[str] = ()) -> Config:
+    return override(PRESETS[name](), overrides)
