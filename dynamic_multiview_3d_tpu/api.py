@@ -1,0 +1,98 @@
+"""Public inference API (SURVEY.md T5/R17).
+
+Preserves the reference's surface (BASELINE.json:5): a checkpoint-loadable
+model definition and ``predict(image_seq, target_poses) -> novel-view
+tensors``. One jitted XLA program per (shape, dtype) signature; the jit is
+cached on the Model instance so repeated predict calls are a single device
+dispatch.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dynamic_multiview_3d_tpu import config as config_lib
+from dynamic_multiview_3d_tpu.models import DMV3D
+from dynamic_multiview_3d_tpu.train import checkpoint as ckpt_lib
+
+DEFAULT_POSE = (0.0, 0.3, 2.0)   # canonical source pose when none is given
+
+
+class Model:
+    """Checkpoint-loadable DMV3D model with a jitted ``predict``."""
+
+    def __init__(self, cfg: config_lib.Config, params):
+        self.cfg = cfg
+        self.params = params
+        self.module = DMV3D(cfg.model)
+
+        @functools.partial(jax.jit)
+        def _apply(params, image_seq, src_poses, tgt_poses):
+            return self.module.apply(
+                {"params": params}, image_seq, src_poses, tgt_poses)
+
+        self._apply = _apply
+
+    # -- construction --------------------------------------------------------
+    @classmethod
+    def init_random(cls, cfg: config_lib.Config, seed: int = 0) -> "Model":
+        m = cfg.model
+        module = DMV3D(m)
+        dummy_seq = jnp.zeros((1, 1, m.image_size, m.image_size, 3))
+        dummy_src = jnp.zeros((1, 1, 3))
+        dummy_tgt = jnp.zeros((1, 1, 3))
+        # jitted init: one compiled program instead of per-op eager dispatch
+        variables = jax.jit(module.init)(jax.random.key(seed), dummy_seq,
+                                         dummy_src, dummy_tgt)
+        return cls(cfg, variables["params"])
+
+    @classmethod
+    def from_checkpoint(cls, path: str) -> "Model":
+        params, cfg, _ = ckpt_lib.load_model(path)
+        return cls(cfg, params)
+
+    def save_checkpoint(self, path: str, step: int = 0) -> None:
+        ckpt_lib.save_model(path, self.params, self.cfg, step)
+
+    # -- inference ------------------------------------------------------------
+    def predict(self, image_seq, target_poses, source_poses=None,
+                return_aux: bool = False):
+        """Novel views for each target pose.
+
+        image_seq    [B,T,H,W,3] or [T,H,W,3], values in [-1, 1]
+        target_poses [B,K,3] or [K,3] (azimuth, elevation, radius)
+        source_poses optional [B,T,3] / [T,3]; defaults to a canonical pose
+                     (relative azimuth conditioning still works per-target).
+
+        Returns views [B,K,H,W,3] (or [K,H,W,3] if inputs were unbatched).
+        """
+        image_seq = jnp.asarray(image_seq)
+        target_poses = jnp.asarray(target_poses, jnp.float32)
+        unbatched = image_seq.ndim == 4
+        if unbatched:
+            image_seq = image_seq[None]
+            target_poses = target_poses[None]
+        b, t = image_seq.shape[:2]
+        if source_poses is None:
+            source_poses = jnp.broadcast_to(
+                jnp.asarray(DEFAULT_POSE, jnp.float32), (b, t, 3))
+        else:
+            source_poses = jnp.asarray(source_poses, jnp.float32)
+            if source_poses.ndim == 2:
+                source_poses = source_poses[None]
+        out = self._apply(self.params, image_seq, source_poses, target_poses)
+        if not return_aux:
+            out = out["view"]
+        if unbatched:
+            out = jax.tree.map(lambda x: x[0], out)
+        return out
+
+
+def predict(checkpoint_path: str, image_seq, target_poses, **kw):
+    """One-shot functional form of the reference API (R17)."""
+    return Model.from_checkpoint(checkpoint_path).predict(
+        image_seq, target_poses, **kw)

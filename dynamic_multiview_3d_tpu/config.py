@@ -27,6 +27,8 @@ class ModelConfig:
     max_flow: float = 0.5            # flow head range as a fraction of image size
     predict_depth: bool = False      # enable depth head + depth-reprojection path
     use_pallas: bool = True          # Pallas kernels on TPU, jnp fallback elsewhere
+    remat_scan: bool = False         # jax.checkpoint the recurrent scan body
+    synthesis: str = "flow"          # "flow" (warp+mask+rgb) | "depth" (reproject)
     dtype: str = "bfloat16"          # compute dtype (params stay float32)
 
     @property
@@ -106,6 +108,20 @@ def _replace(cfg: Any, path: str, value: Any) -> Any:
         else:
             value = type(old)(value)
     return dataclasses.replace(cfg, **{head: value})
+
+
+def to_dict(cfg: Config) -> dict:
+    return dataclasses.asdict(cfg)
+
+
+def from_dict(d: dict) -> Config:
+    return Config(
+        model=ModelConfig(**d["model"]),
+        data=DataConfig(**d["data"]),
+        train=TrainConfig(**d["train"]),
+        mesh=MeshConfig(**d["mesh"]),
+        name=d.get("name", "default"),
+    )
 
 
 def override(cfg: Config, overrides: Sequence[str]) -> Config:

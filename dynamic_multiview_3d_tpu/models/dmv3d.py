@@ -1,0 +1,242 @@
+"""DMV3D — pose-conditioned encoder-decoder for dynamic multiview synthesis.
+
+Capability parity with the reference's model layer (SURVEY.md R6-R13, from
+BASELINE.json:5): stride-2 conv encoder, pose-conditioned bottleneck, decoder
+with U-Net skips, appearance-flow + soft-mask (+ optional depth) heads,
+ConvGRU recurrence over video frames. TPU-first design decisions:
+
+- recurrence is a single ``jax.lax.scan`` (via ``nn.scan``): fwd+bwd compile
+  into ONE XLA program, constant compile size in T (BASELINE.json:5)
+- last-frame skip features ride in the scan *carry* (overwritten each step)
+  so no O(T) activation stash is materialized
+- K target poses are folded into the batch axis (B*K) for the decoder — one
+  big conv batch for the MXU instead of a Python loop over poses
+- NHWC, bf16 compute / f32 params; heads + warping run in f32
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from dynamic_multiview_3d_tpu.config import ModelConfig
+from dynamic_multiview_3d_tpu.models.layers import (
+    ConvBlock,
+    ConvGRUCell,
+    upsample2x,
+)
+from dynamic_multiview_3d_tpu.ops import pose as pose_ops
+from dynamic_multiview_3d_tpu.ops import reproject as reproject_ops
+from dynamic_multiview_3d_tpu.ops import sampling
+
+
+def _features(cfg: ModelConfig, level: int) -> int:
+    return min(cfg.base_features * (2 ** level), cfg.max_features)
+
+
+def _dtype(cfg: ModelConfig):
+    return jnp.dtype(cfg.dtype)
+
+
+class Encoder(nn.Module):
+    """Stride-2 conv stack image -> (bottleneck, per-resolution skips)."""
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray):
+        cfg = self.cfg
+        dt = _dtype(cfg)
+        x = x.astype(dt)
+        x = ConvBlock(_features(cfg, 0), stride=1, norm=cfg.norm, dtype=dt,
+                      name="stem")(x)
+        skips = [x]
+        for i in range(1, cfg.num_levels + 1):
+            f = _features(cfg, i)
+            x = ConvBlock(f, stride=2, norm=cfg.norm, dtype=dt,
+                          name=f"down{i}")(x)
+            x = ConvBlock(f, stride=1, norm=cfg.norm, dtype=dt,
+                          name=f"res{i}")(x)
+            if i < cfg.num_levels:
+                skips.append(x)
+        return x, tuple(skips)
+
+
+class PoseBottleneck(nn.Module):
+    """Inject the target-pose code at the bottleneck (SURVEY.md R7).
+
+    MLP-embed the pose, tile it over the bottleneck's spatial extent, concat,
+    and mix with 1x1 + 3x3 convs.
+    """
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, bottleneck: jnp.ndarray, pose_code: jnp.ndarray):
+        cfg = self.cfg
+        dt = _dtype(cfg)
+        emb = nn.Dense(cfg.pose_embed_dim, dtype=dt, name="pose_fc1")(
+            pose_code.astype(dt))
+        emb = nn.relu(emb)
+        emb = nn.Dense(cfg.pose_embed_dim, dtype=dt, name="pose_fc2")(emb)
+        n, h, w, _ = bottleneck.shape
+        tiled = jnp.broadcast_to(emb[:, None, None, :],
+                                 (n, h, w, cfg.pose_embed_dim))
+        x = jnp.concatenate([bottleneck.astype(dt), tiled], axis=-1)
+        x = ConvBlock(cfg.gru_features, kernel=1, norm=cfg.norm, dtype=dt,
+                      name="mix1")(x)
+        x = ConvBlock(cfg.gru_features, kernel=3, norm=cfg.norm, dtype=dt,
+                      name="mix2")(x)
+        return x
+
+
+class Decoder(nn.Module):
+    """Upsample-conv stack with U-Net skips -> flow/mask/rgb(/depth) heads."""
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, skips: Sequence[jnp.ndarray]):
+        cfg = self.cfg
+        dt = _dtype(cfg)
+        x = x.astype(dt)
+        for i in range(cfg.num_levels - 1, -1, -1):
+            f = _features(cfg, i)
+            x = upsample2x(x)
+            x = ConvBlock(f, norm=cfg.norm, dtype=dt, name=f"up{i}")(x)
+            x = jnp.concatenate([x, skips[i].astype(dt)], axis=-1)
+            x = ConvBlock(f, norm=cfg.norm, dtype=dt, name=f"fuse{i}")(x)
+
+        # Heads in f32: flow feeds bilinear sampling, mask feeds compositing.
+        xf = x.astype(jnp.float32)
+        flow = nn.Conv(2, (3, 3), padding="SAME", dtype=jnp.float32,
+                       name="flow_head")(xf)
+        flow = jnp.tanh(flow) * (cfg.max_flow * cfg.image_size)
+        mask = nn.sigmoid(nn.Conv(1, (3, 3), padding="SAME",
+                                  dtype=jnp.float32, name="mask_head")(xf))
+        rgb = jnp.tanh(nn.Conv(3, (3, 3), padding="SAME", dtype=jnp.float32,
+                               name="rgb_head")(xf))
+        out = {"flow": flow, "mask": mask, "rgb": rgb}
+        if cfg.predict_depth:
+            raw = nn.Conv(1, (3, 3), padding="SAME", dtype=jnp.float32,
+                          name="depth_head")(xf)
+            out["depth"] = nn.softplus(raw)[..., 0] + 0.1
+        return out
+
+
+class _RecurrentStep(nn.Module):
+    """One scan step: encode frame, advance ConvGRU state, refresh skips."""
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, carry, frame):
+        h, _ = carry
+        bottleneck, skips = Encoder(self.cfg, name="encoder")(frame)
+        h = ConvGRUCell(self.cfg.gru_features, dtype=_dtype(self.cfg),
+                        name="gru")(h.astype(_dtype(self.cfg)), bottleneck)
+        return (h, skips), None
+
+
+class DMV3D(nn.Module):
+    """Full model: ``(image_seq, src_poses, tgt_poses) -> novel views``.
+
+    image_seq [B,T,H,W,3] in [-1,1]; src_poses [B,T,3]; tgt_poses [B,K,3]
+    (az, el, radius). Returns dict with "view" [B,K,H,W,3] plus aux heads.
+    """
+
+    cfg: ModelConfig
+
+    def skip_shapes(self, batch: int) -> list[tuple[int, ...]]:
+        cfg = self.cfg
+        return [
+            (batch, cfg.image_size // (2 ** i), cfg.image_size // (2 ** i),
+             _features(cfg, i))
+            for i in range(cfg.num_levels)
+        ]
+
+    @nn.compact
+    def __call__(self, image_seq: jnp.ndarray, src_poses: jnp.ndarray,
+                 tgt_poses: jnp.ndarray):
+        cfg = self.cfg
+        b, t, h, w, _ = image_seq.shape
+        k = tgt_poses.shape[1]
+        dt = _dtype(cfg)
+
+        # --- temporal encode: lax.scan over frames, state + skips in carry.
+        h0 = ConvGRUCell.init_state(b, cfg.bottleneck_size,
+                                    cfg.bottleneck_size, cfg.gru_features, dt)
+        skips0 = tuple(jnp.zeros(s, dt) for s in self.skip_shapes(b))
+        # remat on the scan body trades recompute for O(1)-in-T activation
+        # memory (SURVEY.md §5 long-context story).
+        step_cls = nn.remat(_RecurrentStep) if cfg.remat_scan else _RecurrentStep
+        step = nn.scan(
+            step_cls,
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            in_axes=1, out_axes=1,
+        )(cfg, name="recurrent")
+        (state, skips), _ = step((h0, skips0), image_seq)
+
+        # --- pose conditioning: relative code from last source view to each
+        # target; fold K into batch for one big decoder pass.
+        src_last = src_poses[:, -1]                                # [B, 3]
+        pose_code = pose_ops.encode_pose(
+            jnp.repeat(src_last, k, axis=0),
+            tgt_poses.reshape(b * k, -1),
+            mode=cfg.pose_mode,
+        )                                                          # [B*K, P]
+
+        def tile_k(x):
+            return jnp.repeat(x, k, axis=0)
+
+        state_k = tile_k(state)
+        skips_k = tuple(tile_k(s) for s in skips)
+        z = PoseBottleneck(cfg, name="bottleneck")(state_k, pose_code)
+        heads = Decoder(cfg, name="decoder")(z, skips_k)
+
+        # --- synthesis: appearance-flow warp of the last frame + compositing.
+        last_frame = tile_k(image_seq[:, -1].astype(jnp.float32))
+        impl = "pallas" if (cfg.use_pallas
+                            and jax.default_backend() == "tpu") else "jnp"
+        warped = sampling.flow_warp(last_frame, heads["flow"],
+                                    padding_mode="border", impl=impl)
+        mask = heads["mask"]
+
+        out = {
+            "warped": warped.reshape(b, k, h, w, 3),
+            "flow": heads["flow"].reshape(b, k, h, w, 2),
+            "mask": mask.reshape(b, k, h, w, 1),
+            "rgb": heads["rgb"].reshape(b, k, h, w, 3),
+        }
+
+        if cfg.predict_depth:
+            # Geometric path (SURVEY.md R11): predicted target-view depth +
+            # relative camera transform reproject the last source frame.
+            depth = heads["depth"]                                 # [B*K,H,W]
+            focal = jnp.full((b * k,), float(max(h, w)), jnp.float32)
+            intr = pose_ops.intrinsics_matrix(
+                focal, (w - 1) / 2.0, (h - 1) / 2.0)
+            t_src = pose_ops.look_at_extrinsics(jnp.repeat(src_last, k, 0))
+            t_tgt = pose_ops.look_at_extrinsics(tgt_poses.reshape(b * k, -1))
+            rel = pose_ops.relative_transform(t_src, t_tgt)
+            geo_view, geo_valid = reproject_ops.depth_reproject_sample(
+                last_frame, depth, intr, rel, impl=impl)
+            out["depth"] = depth.reshape(b, k, h, w)
+            out["geo_view"] = geo_view.reshape(b, k, h, w, 3)
+            out["geo_valid"] = geo_valid.reshape(b, k, h, w)
+
+        # Composite: mask gates the geometric resample (flow warp or depth
+        # reprojection) against the hallucinated rgb (SURVEY.md R9/R13).
+        if cfg.synthesis == "depth":
+            if not cfg.predict_depth:
+                raise ValueError("synthesis='depth' requires predict_depth=True")
+            geo = geo_view
+        else:
+            geo = warped
+        view = mask * geo + (1.0 - mask) * heads["rgb"]
+        out["view"] = view.reshape(b, k, h, w, 3)
+        return out

@@ -1,0 +1,121 @@
+"""The jitted train step (SURVEY.md §3.1 target stack).
+
+ONE compiled XLA program per step: forward (scan recurrence included), loss,
+backward, gradient ``psum`` over the 'data' mesh axis, Adam update. Two
+parallelization modes, both mesh-shape-agnostic:
+
+- "shard_map" (default, the BASELINE.json:5 mandate): explicit
+  ``jax.shard_map`` over the mesh; per-shard grads are ``lax.pmean``'d over
+  'data' — lowers to an ICI all-reduce on real slices.
+- "auto": ``jit`` with NamedSharding on inputs; GSPMD inserts the
+  collectives, and the optional 'model' axis shards wide channels
+  (parallel/mesh.model_axis_rules).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax.training import train_state as flax_train_state
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from dynamic_multiview_3d_tpu.config import Config
+from dynamic_multiview_3d_tpu.models import DMV3D
+from dynamic_multiview_3d_tpu.train import losses as losses_lib
+
+
+class TrainState(flax_train_state.TrainState):
+    pass
+
+
+def make_optimizer(cfg: Config) -> optax.GradientTransformation:
+    t = cfg.train
+    if t.weight_decay > 0:
+        return optax.adamw(t.lr, b1=t.beta1, b2=t.beta2,
+                           weight_decay=t.weight_decay)
+    return optax.adam(t.lr, b1=t.beta1, b2=t.beta2)
+
+
+def init_state(cfg: Config, seed: int | None = None) -> TrainState:
+    m = cfg.model
+    module = DMV3D(m)
+    seq = jnp.zeros((1, cfg.data.seq_len, m.image_size, m.image_size, 3))
+    src = jnp.zeros((1, cfg.data.seq_len, 3))
+    tgt = jnp.zeros((1, cfg.data.num_targets, 3))
+    params = jax.jit(module.init)(
+        jax.random.key(cfg.train.seed if seed is None else seed),
+        seq, src, tgt)["params"]
+    return TrainState.create(apply_fn=module.apply, params=params,
+                             tx=make_optimizer(cfg))
+
+
+def _loss_and_metrics(apply_fn: Callable, params, batch, tcfg):
+    out = apply_fn({"params": params}, batch["image_seq"],
+                   batch["src_poses"], batch["tgt_poses"])
+    return losses_lib.total_loss(out, batch, tcfg)
+
+
+def make_train_step(cfg: Config, mesh=None, mode: str = "shard_map",
+                    apply_fn: Callable | None = None) -> Callable:
+    """-> step(state, batch) -> (state, metrics). Donates state buffers."""
+    tcfg = cfg.train
+    apply_fn = apply_fn or DMV3D(cfg.model).apply
+
+    def _step(state: TrainState, batch: dict, pmean_axis: str | None):
+        def loss_fn(params):
+            return _loss_and_metrics(apply_fn, params, batch, tcfg)
+
+        (_, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        if pmean_axis is not None:
+            grads = jax.lax.pmean(grads, pmean_axis)
+            metrics = jax.lax.pmean(metrics, pmean_axis)
+        state = state.apply_gradients(grads=grads)
+        return state, metrics
+
+    if mesh is None:
+        return jax.jit(functools.partial(_step, pmean_axis=None),
+                       donate_argnums=0)
+
+    if mode == "shard_map":
+        sharded = jax.shard_map(
+            functools.partial(_step, pmean_axis="data"),
+            mesh=mesh,
+            in_specs=(P(), P("data")),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        return jax.jit(sharded, donate_argnums=0)
+
+    if mode == "auto":
+        batch_sh = NamedSharding(mesh, P("data"))
+        repl = NamedSharding(mesh, P())
+        return jax.jit(
+            functools.partial(_step, pmean_axis=None),
+            in_shardings=(None, batch_sh),
+            out_shardings=(None, repl),
+            donate_argnums=0,
+        )
+
+    raise ValueError(f"unknown parallel mode: {mode}")
+
+
+def make_eval_step(cfg: Config, apply_fn: Callable | None = None) -> Callable:
+    """Jitted forward + PSNR/SSIM for eval loops."""
+    from dynamic_multiview_3d_tpu.train import metrics as metrics_lib
+    apply_fn = apply_fn or DMV3D(cfg.model).apply
+
+    @jax.jit
+    def eval_step(params, batch):
+        out = apply_fn({"params": params}, batch["image_seq"],
+                       batch["src_poses"], batch["tgt_poses"])
+        return {
+            "eval/psnr": metrics_lib.psnr(out["view"], batch["tgt_images"]),
+            "eval/ssim": metrics_lib.ssim(out["view"], batch["tgt_images"]),
+        }
+
+    return eval_step

@@ -16,6 +16,11 @@ if not os.environ.get("DMV3D_TEST_TPU"):
             flags + " --xla_force_host_platform_device_count=8"
         ).strip()
 
+# XLA compiles are remote in this environment (slow round trips even for the
+# CPU backend) — persist everything compiled across test runs.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+
 import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

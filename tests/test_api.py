@@ -1,0 +1,65 @@
+"""Public API tests: predict signature + checkpoint round trip (R16/R17)."""
+
+import numpy as np
+import pytest
+
+from dynamic_multiview_3d_tpu import config as config_lib
+from dynamic_multiview_3d_tpu.api import Model
+
+
+@pytest.fixture(scope="module")
+def small_cfg():
+    return config_lib.override(config_lib.Config(), [
+        "model.image_size=32", "model.num_levels=3", "model.base_features=8",
+        "model.max_features=16", "model.gru_features=16",
+        "model.pose_embed_dim=8", "model.dtype=float32",
+        "model.use_pallas=False",
+    ])
+
+
+@pytest.fixture(scope="module")
+def model(small_cfg):
+    return Model.init_random(small_cfg, seed=0)
+
+
+def test_predict_batched(model, rng):
+    seq = rng.uniform(-1, 1, (2, 3, 32, 32, 3)).astype(np.float32)
+    tgt = rng.uniform(0, 1, (2, 4, 3)).astype(np.float32) + [0, 0, 1]
+    views = model.predict(seq, tgt)
+    assert views.shape == (2, 4, 32, 32, 3)
+
+
+def test_predict_unbatched_and_default_source(model, rng):
+    seq = rng.uniform(-1, 1, (2, 32, 32, 3)).astype(np.float32)
+    tgt = rng.uniform(0, 1, (3, 3)).astype(np.float32) + [0, 0, 1]
+    views = model.predict(seq, tgt)
+    assert views.shape == (3, 32, 32, 3)
+
+
+def test_predict_with_aux(model, rng):
+    seq = rng.uniform(-1, 1, (1, 1, 32, 32, 3)).astype(np.float32)
+    tgt = rng.uniform(0, 1, (1, 1, 3)).astype(np.float32) + [0, 0, 1]
+    out = model.predict(seq, tgt, return_aux=True)
+    assert set(out) >= {"view", "flow", "mask", "rgb", "warped"}
+
+
+def test_checkpoint_roundtrip(model, rng, tmp_path):
+    path = str(tmp_path / "ckpt")
+    model.save_checkpoint(path, step=5)
+    restored = Model.from_checkpoint(path)
+    assert restored.cfg == model.cfg
+    seq = rng.uniform(-1, 1, (1, 1, 32, 32, 3)).astype(np.float32)
+    tgt = rng.uniform(0, 1, (1, 2, 3)).astype(np.float32) + [0, 0, 1]
+    np.testing.assert_allclose(
+        np.asarray(model.predict(seq, tgt)),
+        np.asarray(restored.predict(seq, tgt)), atol=1e-6)
+
+
+def test_functional_predict(model, rng, tmp_path):
+    from dynamic_multiview_3d_tpu.api import predict
+    path = str(tmp_path / "ckpt2")
+    model.save_checkpoint(path)
+    seq = rng.uniform(-1, 1, (1, 32, 32, 3)).astype(np.float32)
+    tgt = rng.uniform(0, 1, (2, 3)).astype(np.float32) + [0, 0, 1]
+    views = predict(path, seq, tgt)
+    assert views.shape == (2, 32, 32, 3)
