@@ -1,0 +1,52 @@
+"""Evaluate a checkpoint: PSNR/SSIM over held-out synthetic views.
+
+    python -m dynamic_multiview_3d_tpu.cli.eval --ckpt /tmp/dmv3d_ckpt_model \
+        --num-batches 8
+
+This is the rebuild of the reference's test.py-style evaluation script
+(SURVEY.md §4 preamble): render novel views from a checkpoint and report
+quality metrics.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import jax
+import numpy as np
+
+from dynamic_multiview_3d_tpu.api import Model
+from dynamic_multiview_3d_tpu.data import pipeline as pipeline_lib
+from dynamic_multiview_3d_tpu.train import metrics as metrics_lib
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--ckpt", required=True)
+    p.add_argument("--num-batches", type=int, default=8)
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--eval-seed", type=int, default=10_000,
+                   help="offset into the index space, past training data")
+    args = p.parse_args(argv)
+
+    model = Model.from_checkpoint(args.ckpt)
+    src = pipeline_lib.make_source(model.cfg.data)
+
+    psnrs, ssims = [], []
+    fwd = jax.jit(lambda pr, b: model.module.apply(
+        {"params": pr}, b["image_seq"], b["src_poses"], b["tgt_poses"])["view"])
+    for i in range(args.num_batches):
+        lo = args.eval_seed + i * args.batch_size
+        batch = src.batch(range(lo, lo + args.batch_size))
+        views = fwd(model.params, jax.device_put(batch))
+        psnrs.append(float(metrics_lib.psnr(views, batch["tgt_images"])))
+        ssims.append(float(metrics_lib.ssim(views, batch["tgt_images"])))
+    result = {"psnr": float(np.mean(psnrs)), "ssim": float(np.mean(ssims)),
+              "num_views": args.num_batches * args.batch_size
+              * model.cfg.data.num_targets}
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -58,6 +58,7 @@ class DataConfig:
 class TrainConfig:
     """Losses + optimizer + checkpointing (SURVEY.md R13-R16 -> T4)."""
 
+    optimizer: str = "adam"          # "adam" | "adamw" | "sgd"
     lr: float = 2e-4
     beta1: float = 0.9
     beta2: float = 0.999

@@ -89,6 +89,12 @@ def train(cfg: config_lib.Config, *, writer: metrics_lib.MetricsWriter | None
         mgr.save(step + 1, args=ocp.args.StandardSave(state))
 
     mgr.wait_until_finished()
+    # Export in the Model.from_checkpoint format for eval/predict (T5).
+    if jax.process_index() == 0:
+        import os
+        ckpt_lib.save_model(os.path.join(cfg.train.ckpt_dir, "model"),
+                            jax.device_get(state.params), cfg,
+                            int(np.asarray(state.step)))
     return state, last_metrics
 
 

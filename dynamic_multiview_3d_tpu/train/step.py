@@ -34,10 +34,14 @@ class TrainState(flax_train_state.TrainState):
 
 def make_optimizer(cfg: Config) -> optax.GradientTransformation:
     t = cfg.train
-    if t.weight_decay > 0:
+    if t.optimizer == "sgd":
+        return optax.sgd(t.lr)
+    if t.optimizer == "adamw" or (t.optimizer == "adam" and t.weight_decay > 0):
         return optax.adamw(t.lr, b1=t.beta1, b2=t.beta2,
                            weight_decay=t.weight_decay)
-    return optax.adam(t.lr, b1=t.beta1, b2=t.beta2)
+    if t.optimizer == "adam":
+        return optax.adam(t.lr, b1=t.beta1, b2=t.beta2)
+    raise ValueError(f"unknown optimizer: {t.optimizer}")
 
 
 def init_state(cfg: Config, seed: int | None = None) -> TrainState:

@@ -25,6 +25,15 @@ import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+if not os.environ.get("DMV3D_TEST_TPU"):
+    # sitecustomize.py (axon TPU plugin) force-sets jax_platforms at
+    # interpreter start, overriding the env var — override it back before
+    # the first backend initialization so tests really run on the 8-device
+    # virtual CPU mesh.
+    jax.config.update("jax_platforms", "cpu")
+    assert jax.default_backend() == "cpu", jax.devices()
+    assert len(jax.devices()) == 8, jax.devices()
+
 
 @pytest.fixture(scope="session")
 def devices():

@@ -1,0 +1,129 @@
+"""Training tests (SURVEY.md §4): losses, overfit-one-batch sanity,
+
+checkpoint/resume with fault injection."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dynamic_multiview_3d_tpu import config as config_lib
+from dynamic_multiview_3d_tpu.data.synthetic import SyntheticScenes
+from dynamic_multiview_3d_tpu.train import checkpoint as ckpt_lib
+from dynamic_multiview_3d_tpu.train import loop as loop_lib
+from dynamic_multiview_3d_tpu.train import losses as losses_lib
+from dynamic_multiview_3d_tpu.train import metrics as metrics_lib
+from dynamic_multiview_3d_tpu.train import step as step_lib
+
+
+def tiny_cfg(tmpdir, **over):
+    cfg = config_lib.override(config_lib.Config(), [
+        "model.image_size=32", "model.num_levels=3", "model.base_features=8",
+        "model.max_features=16", "model.gru_features=16",
+        "model.pose_embed_dim=8", "model.dtype=float32",
+        "model.use_pallas=False",
+        "data.image_size=32", "data.batch_size=4", "data.num_scenes=2",
+        "train.lr=1e-3", "train.num_steps=3", "train.log_every=1",
+        f"train.ckpt_dir={tmpdir}/ckpt", "train.ckpt_every=1",
+        "mesh.data=1",
+    ])
+    return config_lib.override(cfg, list(over.pop("overrides", [])))
+
+
+# ---------------------------------------------------------------- losses
+def test_losses_zero_when_perfect(rng):
+    b, k, h, w = 1, 1, 8, 8
+    tgt = jnp.asarray(rng.uniform(-1, 1, (b, k, h, w, 3)).astype(np.float32))
+    out = {
+        "view": tgt,
+        "flow": jnp.zeros((b, k, h, w, 2)),
+        "mask": jnp.full((b, k, h, w, 1), 1.0 - 1e-6),
+    }
+    loss, metrics = losses_lib.total_loss(
+        out, {"tgt_images": tgt}, config_lib.TrainConfig())
+    assert float(metrics["loss/l1"]) == 0.0
+    # zero flow is fully in-bounds -> mask target 1 -> BCE ~ 0
+    assert float(metrics["loss/mask"]) < 1e-4
+
+
+def test_mask_loss_supervises_in_bounds(rng):
+    b, k, h, w = 1, 1, 8, 8
+    flow = jnp.full((b, k, h, w, 2), 100.0)      # everything out of bounds
+    mask_open = jnp.full((b, k, h, w, 1), 0.99)
+    mask_closed = jnp.full((b, k, h, w, 1), 0.01)
+    assert float(losses_lib.mask_loss(mask_closed, flow)) < float(
+        losses_lib.mask_loss(mask_open, flow))
+
+
+def test_psnr_ssim_basics(rng):
+    a = jnp.asarray(rng.uniform(-1, 1, (1, 1, 32, 32, 3)).astype(np.float32))
+    assert float(metrics_lib.psnr(a, a)) > 100
+    assert float(metrics_lib.ssim(a, a)) > 0.999
+    b = jnp.clip(a + 0.5, -1, 1)
+    assert float(metrics_lib.psnr(a, b)) < 20
+    assert float(metrics_lib.ssim(a, b)) < 0.9
+
+
+# ---------------------------------------------------------------- train step
+def test_overfit_one_batch(rng, tmp_path):
+    """Loss must drop markedly when training repeatedly on one batch."""
+    cfg = tiny_cfg(tmp_path)
+    src = SyntheticScenes(num_scenes=1, image_size=32, seq_len=1,
+                          num_targets=1)
+    batch = jax.device_put(src.batch(range(4)))
+    state = step_lib.init_state(cfg)
+    step_fn = step_lib.make_train_step(cfg)
+    first = None
+    for _ in range(30):
+        state, m = step_fn(state, batch)
+        if first is None:
+            first = float(m["loss/total"])
+    last = float(m["loss/total"])
+    assert last < 0.5 * first, (first, last)
+
+
+def test_eval_step(rng, tmp_path):
+    cfg = tiny_cfg(tmp_path)
+    src = SyntheticScenes(num_scenes=1, image_size=32)
+    batch = jax.device_put(src.batch(range(2)))
+    state = step_lib.init_state(cfg)
+    ev = step_lib.make_eval_step(cfg)(state.params, batch)
+    assert np.isfinite(float(ev["eval/psnr"]))
+    assert -1.0 <= float(ev["eval/ssim"]) <= 1.0
+
+
+# ---------------------------------------------------------------- loop + resume
+def test_train_loop_runs_and_checkpoints(tmp_path):
+    cfg = tiny_cfg(tmp_path)
+    writer = metrics_lib.MetricsWriter(str(tmp_path / "logs"),
+                                       use_tensorboard=False)
+    state, metrics = loop_lib.train(cfg, writer=writer)
+    assert int(np.asarray(state.step)) == 3
+    assert "loss/total" in metrics
+    mgr = ckpt_lib.make_manager(cfg.train.ckpt_dir)
+    assert mgr.latest_step() == 3
+
+
+def test_fault_injection_and_exact_resume(tmp_path):
+    """Kill training mid-run; resuming must replay to the identical state
+    (same params bit pattern) as an uninterrupted run (SURVEY.md §5)."""
+    # Uninterrupted 4-step run.
+    cfg_a = tiny_cfg(tmp_path, overrides=[
+        "train.num_steps=4", f"train.ckpt_dir={tmp_path}/a"])
+    state_a, _ = loop_lib.train(cfg_a)
+
+    # Interrupted after step 1, then resumed to 4.
+    cfg_b = tiny_cfg(tmp_path, overrides=[
+        "train.num_steps=4", f"train.ckpt_dir={tmp_path}/b",
+        "train.fail_after_step=1"])
+    with pytest.raises(loop_lib.FaultInjected):
+        loop_lib.train(cfg_b)
+    cfg_b2 = tiny_cfg(tmp_path, overrides=[
+        "train.num_steps=4", f"train.ckpt_dir={tmp_path}/b"])
+    state_b, _ = loop_lib.train(cfg_b2)
+
+    assert int(np.asarray(state_b.step)) == 4
+    for pa, pb in zip(jax.tree.leaves(state_a.params),
+                      jax.tree.leaves(state_b.params)):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
+                                   rtol=0, atol=0)
