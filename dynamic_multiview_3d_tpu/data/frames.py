@@ -1,0 +1,123 @@
+"""Frame-folder video dataset (SURVEY.md R1 -> T1, config 5).
+
+On-disk layout (ffmpeg is absent on this machine — SURVEY.md §7 hard-part
+#3 — so video ships as frame folders, decoded with imageio in Grain
+workers):
+
+    root/
+      scene_00000/
+        meta.json          # {"num_views": V, "seq_len": T_avail, "dynamic": bool}
+        poses.npy          # [V, 3] float32 (az, el, radius) per camera
+        v000_t000.png      # frame for view v at time t
+        ...
+
+``example(index)`` samples a source camera trajectory + K target views at
+the final timestep — the same contract as SyntheticScenes, so the train
+loop / Grain pipeline are source-agnostic. ``export_synthetic`` materializes
+a synthetic dataset into this layout (gives config-5 streamed-decode runs
+real files to decode without external data).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+from dynamic_multiview_3d_tpu.config import DataConfig
+from dynamic_multiview_3d_tpu.data import native
+from dynamic_multiview_3d_tpu.data.synthetic import SyntheticScenes, to_uint8
+
+
+class FrameFolderScenes:
+    """Random-access examples over a frame-folder dataset."""
+
+    def __init__(self, cfg: DataConfig):
+        if not cfg.root or not os.path.isdir(cfg.root):
+            raise FileNotFoundError(
+                f"frames dataset root not found: {cfg.root!r} "
+                "(generate one with data.frames.export_synthetic)")
+        self.cfg = cfg
+        self.scenes = sorted(
+            d for d in os.listdir(cfg.root)
+            if d.startswith("scene_")
+            and os.path.isdir(os.path.join(cfg.root, d)))
+        if not self.scenes:
+            raise FileNotFoundError(f"no scene_* dirs under {cfg.root}")
+        self._meta_cache: dict[str, dict] = {}
+
+    def _meta(self, scene: str) -> dict:
+        if scene not in self._meta_cache:
+            with open(os.path.join(self.cfg.root, scene, "meta.json")) as f:
+                meta = json.load(f)
+            meta["poses"] = np.load(
+                os.path.join(self.cfg.root, scene, "poses.npy"))
+            self._meta_cache[scene] = meta
+        return self._meta_cache[scene]
+
+    def _read_frame(self, scene: str, view: int, t: int) -> np.ndarray:
+        import imageio.v2 as imageio
+        path = os.path.join(self.cfg.root, scene,
+                            f"v{view:03d}_t{t:03d}.png")
+        return np.asarray(imageio.imread(path))
+
+    def example(self, index: int) -> dict:
+        cfg = self.cfg
+        scene = self.scenes[index % len(self.scenes)]
+        meta = self._meta(scene)
+        poses = meta["poses"]
+        v_avail, t_avail = meta["num_views"], meta["seq_len"]
+        rng = np.random.default_rng(
+            np.random.SeedSequence([cfg.seed + 7, int(index)]))
+
+        t_len = min(cfg.seq_len, t_avail)
+        k = cfg.num_targets
+        src_view = int(rng.integers(v_avail))
+        tgt_views = rng.choice(v_avail, size=k, replace=(v_avail < k))
+        t0 = int(rng.integers(t_avail - t_len + 1))
+
+        frames = np.stack([
+            self._read_frame(scene, src_view, t0 + t) for t in range(t_len)])
+        targets = np.stack([
+            self._read_frame(scene, int(v), t0 + t_len - 1)
+            for v in tgt_views])
+
+        s = cfg.image_size
+        return {
+            "image_seq": native.resize_normalize_pack(frames, s, s),
+            "src_poses": np.broadcast_to(
+                poses[src_view], (t_len, 3)).astype(np.float32).copy(),
+            "tgt_poses": poses[tgt_views].astype(np.float32),
+            "tgt_images": native.resize_normalize_pack(targets, s, s),
+        }
+
+    def batch(self, indices) -> dict:
+        exs = [self.example(int(i)) for i in indices]
+        return {k: np.stack([e[k] for e in exs]) for k in exs[0]}
+
+
+def export_synthetic(root: str, num_scenes: int = 8, image_size: int = 128,
+                     num_views: int = 12, seq_len: int = 4,
+                     dynamic: bool = True, seed: int = 0) -> str:
+    """Materialize synthetic scenes as a frame-folder dataset on disk."""
+    import imageio.v2 as imageio
+
+    src = SyntheticScenes(num_scenes=num_scenes, image_size=image_size,
+                          dynamic=dynamic, seed=seed)
+    rng = np.random.default_rng(seed)
+    os.makedirs(root, exist_ok=True)
+    for sid in range(num_scenes):
+        sdir = os.path.join(root, f"scene_{sid:05d}")
+        os.makedirs(sdir, exist_ok=True)
+        poses = src.sample_poses(rng, num_views)
+        np.save(os.path.join(sdir, "poses.npy"), poses)
+        with open(os.path.join(sdir, "meta.json"), "w") as f:
+            json.dump({"num_views": num_views, "seq_len": seq_len,
+                       "dynamic": dynamic}, f)
+        for v in range(num_views):
+            for t in range(seq_len):
+                img = src.render(sid, poses[v], time=float(t))
+                imageio.imwrite(
+                    os.path.join(sdir, f"v{v:03d}_t{t:03d}.png"), img)
+    return root

@@ -122,6 +122,10 @@ def flow_warp(image: jnp.ndarray, flow: jnp.ndarray, *,
     out(p) = image(p + flow(p)), bilinear. This is the decoder's warp head
     (SURVEY.md R9): the model predicts flow, the warp resamples the source.
     """
+    if impl == "pallas":
+        from dynamic_multiview_3d_tpu.kernels import grid_sample_pallas
+        return grid_sample_pallas.flow_warp(image, flow,
+                                            padding_mode=padding_mode)
     n, h, w, _ = image.shape
     coords = base_grid(h, w, dtype=jnp.float32)[None] + flow.astype(jnp.float32)
     grid = normalize_coords(coords, h, w, align_corners=True)

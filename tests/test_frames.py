@@ -1,0 +1,66 @@
+"""Frame-folder dataset + native packer tests (config-5 input path)."""
+
+import numpy as np
+import pytest
+
+from dynamic_multiview_3d_tpu import config as config_lib
+from dynamic_multiview_3d_tpu.data import frames as frames_lib
+from dynamic_multiview_3d_tpu.data import native
+
+
+@pytest.fixture(scope="module")
+def dataset_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("frames_ds"))
+    frames_lib.export_synthetic(root, num_scenes=2, image_size=48,
+                                num_views=4, seq_len=3)
+    return root
+
+
+def test_example_contract(dataset_root):
+    cfg = config_lib.DataConfig(source="frames", root=dataset_root,
+                                image_size=32, seq_len=2, num_targets=2)
+    ds = frames_lib.FrameFolderScenes(cfg)
+    ex = ds.example(0)
+    assert ex["image_seq"].shape == (2, 32, 32, 3)      # resized 48 -> 32
+    assert ex["tgt_images"].shape == (2, 32, 32, 3)
+    assert ex["src_poses"].shape == (2, 3)
+    assert ex["tgt_poses"].shape == (2, 3)
+    assert -1.0 <= ex["image_seq"].min() and ex["image_seq"].max() <= 1.0
+    # deterministic per index
+    ex2 = ds.example(0)
+    np.testing.assert_array_equal(ex["image_seq"], ex2["image_seq"])
+
+
+def test_batch_and_pipeline_make_source(dataset_root):
+    from dynamic_multiview_3d_tpu.data import pipeline
+    cfg = config_lib.DataConfig(source="frames", root=dataset_root,
+                                image_size=48, seq_len=1, num_targets=1)
+    ds = pipeline.make_source(cfg)
+    b = ds.batch(range(3))
+    assert b["image_seq"].shape == (3, 1, 48, 48, 3)
+
+
+def test_missing_root_raises():
+    cfg = config_lib.DataConfig(source="frames", root="/nonexistent/xyz")
+    with pytest.raises(FileNotFoundError):
+        frames_lib.FrameFolderScenes(cfg)
+
+
+def test_native_matches_numpy_normalize(rng):
+    img = rng.integers(0, 256, (2, 16, 16, 3), dtype=np.uint8)
+    out = native.resize_normalize_pack(img, 16, 16)
+    np.testing.assert_allclose(out, img.astype(np.float32) / 127.5 - 1.0,
+                               atol=1e-6)
+
+
+def test_native_resize_constant(rng):
+    img = np.full((1, 20, 20, 3), 100, np.uint8)
+    out = native.resize_normalize_pack(img, 40, 40)
+    np.testing.assert_allclose(out, 100 / 127.5 - 1.0, atol=1e-5)
+
+
+def test_native_gather(rng):
+    store = rng.integers(0, 256, (6, 4, 4, 3), dtype=np.uint8)
+    out = native.gather_pack(store, np.array([5, 0, 2]))
+    np.testing.assert_allclose(
+        out, store[[5, 0, 2]].astype(np.float32) / 127.5 - 1.0, atol=1e-6)

@@ -1,0 +1,108 @@
+"""Pallas kernel tests (SURVEY.md §7 M5).
+
+On CPU the kernels run in interpret mode, bit-compared against the jnp
+gather reference (itself torch-oracle-verified in test_grid_sample.py) for
+forward AND both gradients. The @tpu-marked test compiles the real Mosaic
+kernel on hardware (DMV3D_TEST_TPU=1)."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dynamic_multiview_3d_tpu.kernels import grid_sample_pallas as gsp
+from dynamic_multiview_3d_tpu.ops import sampling
+
+INTERP = jax.default_backend() != "tpu"
+
+
+def _data(rng, n=2, h=16, w=24, c=3, ho=12, wo=20, spread=1.4):
+    img = rng.standard_normal((n, h, w, c), dtype=np.float32)
+    grid = rng.uniform(-spread, spread, size=(n, ho, wo, 2)) \
+        .astype(np.float32)
+    return jnp.asarray(img), jnp.asarray(grid)
+
+
+@pytest.mark.parametrize("padding_mode", ["zeros", "border"])
+@pytest.mark.parametrize("align_corners", [True, False])
+def test_forward_matches_jnp(rng, padding_mode, align_corners):
+    img, grid = _data(rng)
+    ours = gsp.grid_sample(img, grid, align_corners=align_corners,
+                           padding_mode=padding_mode, interpret=INTERP)
+    ref = sampling.grid_sample(img, grid, align_corners=align_corners,
+                               padding_mode=padding_mode, impl="jnp")
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("padding_mode", ["zeros", "border"])
+def test_gradients_match_jnp(rng, padding_mode):
+    img, grid = _data(rng, n=1, h=10, w=12, ho=8, wo=8, spread=1.1)
+    cot = jnp.asarray(
+        rng.standard_normal((1, 8, 8, 3), dtype=np.float32))
+
+    def loss(fn):
+        def f(i, g):
+            return jnp.sum(fn(i, g) * cot)
+        return jax.grad(f, argnums=(0, 1))
+
+    ours_fn = functools.partial(gsp.grid_sample, padding_mode=padding_mode,
+                                interpret=INTERP)
+    ref_fn = functools.partial(sampling.grid_sample,
+                               padding_mode=padding_mode, impl="jnp")
+    d_img_o, d_grid_o = loss(ours_fn)(img, grid)
+    d_img_r, d_grid_r = loss(ref_fn)(img, grid)
+    np.testing.assert_allclose(np.asarray(d_img_o), np.asarray(d_img_r),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(d_grid_o), np.asarray(d_grid_r),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_flow_warp_matches_jnp(rng):
+    img = jnp.asarray(rng.standard_normal((2, 16, 16, 3), dtype=np.float32))
+    flow = jnp.asarray(rng.uniform(-4, 4, (2, 16, 16, 2)).astype(np.float32))
+    ours = gsp.flow_warp(img, flow, interpret=INTERP)
+    ref = sampling.flow_warp(img, flow, impl="jnp")
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_nondivisible_sizes(rng):
+    # Ho*Wo prime-ish: exercises the single-block fallback path.
+    img, grid = _data(rng, n=1, h=9, w=11, ho=7, wo=5)
+    ours = gsp.grid_sample(img, grid, interpret=INTERP)
+    ref = sampling.grid_sample(img, grid, impl="jnp")
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_wide_channels_fall_back(rng):
+    img = jnp.asarray(
+        rng.standard_normal((1, 8, 8, 64), dtype=np.float32))
+    grid = jnp.asarray(rng.uniform(-1, 1, (1, 8, 8, 2)).astype(np.float32))
+    out = gsp.grid_sample(img, grid, interpret=INTERP)  # routes to jnp
+    ref = sampling.grid_sample(img, grid, impl="jnp")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+@pytest.mark.tpu
+def test_compiled_on_tpu_matches_jnp(rng):
+    img, grid = _data(rng, n=2, h=64, w=64, c=3, ho=64, wo=64)
+    ours = gsp.grid_sample(img, grid, interpret=False)
+    ref = sampling.grid_sample(img, grid, impl="jnp")
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+    def f(i, g):
+        return jnp.sum(gsp.grid_sample(i, g, interpret=False) ** 2)
+
+    def fr(i, g):
+        return jnp.sum(sampling.grid_sample(i, g, impl="jnp") ** 2)
+
+    d_o = jax.grad(f, argnums=(0, 1))(img, grid)
+    d_r = jax.grad(fr, argnums=(0, 1))(img, grid)
+    for a, b in zip(d_o, d_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-3)
