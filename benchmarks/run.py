@@ -1,0 +1,184 @@
+"""Benchmark suite: one entry per BASELINE.json eval config (lines 7-11).
+
+    python benchmarks/run.py c1 c2 c3 c4 c5      # or any subset
+
+Emits one JSON object per config (and appends to benchmarks/results.jsonl).
+Device timing uses the relay-proof loop-differencing method (see bench.py /
+SURVEY.md §6): N iterations inside one jitted fori_loop with a
+data-dependent carry, scalar fetch, (t_N - t_1)/(N-1).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from dynamic_multiview_3d_tpu import config as config_lib  # noqa: E402
+from dynamic_multiview_3d_tpu.models import DMV3D  # noqa: E402
+
+
+def _loop_time(make_body, n_iters=10, trials=3):
+    """Device seconds per iteration of make_body() via N-vs-1 differencing."""
+    def looped(iters):
+        @jax.jit
+        def f():
+            def body(_, acc):
+                return make_body(acc)
+            return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
+        return f
+
+    f1, fn = looped(1), looped(n_iters)
+    float(f1())
+    float(fn())
+
+    def timed(f):
+        t0 = time.perf_counter()
+        float(f())
+        return time.perf_counter() - t0
+
+    t1 = min(timed(f1) for _ in range(trials))
+    tn = min(timed(fn) for _ in range(trials))
+    return max(tn - t1, 1e-9) / (n_iters - 1)
+
+
+def _random_inputs(m, b, t, k, seed=0):
+    rng = np.random.default_rng(seed)
+    seq = jnp.asarray(rng.uniform(-1, 1, (b, t, m.image_size, m.image_size, 3))
+                      .astype(np.float32))
+    src = jnp.asarray(rng.uniform(0, 1, (b, t, 3)).astype(np.float32)
+                      + [0, 0, 1])
+    tgt = jnp.asarray(rng.uniform(0, 1, (b, k, 3)).astype(np.float32)
+                      + [0, 0, 1])
+    return seq, src, tgt
+
+
+def _forward_metric(cfg, b, t, k, metric_name):
+    m = cfg.model
+    module = DMV3D(m)
+    seq, src, tgt = _random_inputs(m, b, t, k)
+    params = jax.jit(module.init)(jax.random.key(0), seq, src, tgt)["params"]
+
+    def body(acc):
+        out = module.apply({"params": params}, seq + acc * 1e-9, src,
+                           tgt)["view"]
+        return jnp.mean(out)
+
+    dt = _loop_time(body)
+    return {"config": metric_name, "views_per_sec": round(b * k / dt, 2),
+            "latency_ms": round(dt * 1e3, 3),
+            "image_size": m.image_size, "batch": b, "T": t, "K": k,
+            "backend": jax.default_backend()}
+
+
+def bench_c1():
+    """1 image -> 1 view, 64², batch=1 (BASELINE.json:7; CPU-style latency)."""
+    cfg = config_lib.get_config("c1")
+    return _forward_metric(cfg, b=1, t=1, k=1, metric_name="c1_single64")
+
+
+def bench_c2():
+    """Static multiview 128² + 8 poses, batch=16 (BASELINE.json:8)."""
+    cfg = config_lib.get_config("c2")
+    return _forward_metric(cfg, b=16, t=1, k=8, metric_name="c2_static128")
+
+
+def bench_c3():
+    """Dynamic 8-frame seq -> 4 views, batch=8, scan (BASELINE.json:9)."""
+    cfg = config_lib.get_config("c3")
+    return _forward_metric(cfg, b=8, t=8, k=4, metric_name="c3_dynamic")
+
+
+def bench_c4():
+    """Full train step (L1+mask, fwd+bwd+Adam) 128² (BASELINE.json:10).
+
+    Measured per chip here (one local chip); the v5e-8 DP program itself is
+    validated on a virtual 8-device mesh (__graft_entry__.dryrun_multichip).
+    """
+    from dynamic_multiview_3d_tpu.train import losses as losses_lib
+    import optax
+
+    cfg = config_lib.get_config("c4")
+    m = cfg.model
+    b, t, k = 8, 1, 2                      # per-chip slice of the global batch
+    module = DMV3D(m)
+    seq, src, tgt = _random_inputs(m, b, t, k)
+    tgt_img = jnp.zeros((b, k, m.image_size, m.image_size, 3))
+    params = jax.jit(module.init)(jax.random.key(0), seq, src, tgt)["params"]
+    tx = optax.adam(1e-4)
+    opt_state = jax.jit(tx.init)(params)
+
+    def body(acc):
+        def loss_fn(p):
+            out = module.apply({"params": p}, seq + acc * 1e-9, src, tgt)
+            loss, _ = losses_lib.total_loss(
+                out, {"tgt_images": tgt_img}, cfg.train)
+            return loss
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, _ = tx.update(grads, opt_state, params)
+        newp = optax.apply_updates(params, updates)
+        return loss + jax.tree.leaves(newp)[0].ravel()[0] * 1e-9
+
+    dt = _loop_time(body, n_iters=6)
+    return {"config": "c4_train128", "steps_per_sec_per_chip": round(1 / dt, 3),
+            "examples_per_sec_per_chip": round(b / dt, 2),
+            "image_size": m.image_size, "per_chip_batch": b,
+            "backend": jax.default_backend()}
+
+
+def bench_c5():
+    """Streamed video decode + packing goodput (BASELINE.json:11 input side)
+    + 256² train-step rate per chip."""
+    import tempfile
+    from dynamic_multiview_3d_tpu.data import frames as frames_lib
+
+    root = os.path.join(tempfile.gettempdir(), "dmv3d_bench_frames")
+    if not os.path.isdir(root):
+        frames_lib.export_synthetic(root, num_scenes=4, image_size=256,
+                                    num_views=6, seq_len=4)
+    dcfg = config_lib.DataConfig(source="frames", root=root, image_size=256,
+                                 seq_len=4, num_targets=2)
+    ds = frames_lib.FrameFolderScenes(dcfg)
+    n = 16
+    t0 = time.perf_counter()
+    batch = ds.batch(range(n))
+    dt = time.perf_counter() - t0
+    frames_decoded = n * (dcfg.seq_len + dcfg.num_targets)
+    result = {"config": "c5_input256",
+              "decoded_frames_per_sec_per_host": round(frames_decoded / dt, 1),
+              "examples_per_sec_per_host": round(n / dt, 2)}
+
+    cfg = config_lib.get_config("c5")
+    fwd = _forward_metric(cfg, b=2, t=4, k=2, metric_name="c5_fwd256")
+    result["fwd256_views_per_sec"] = fwd["views_per_sec"]
+    return result
+
+
+BENCHES = {"c1": bench_c1, "c2": bench_c2, "c3": bench_c3, "c4": bench_c4,
+           "c5": bench_c5}
+
+
+def main(argv):
+    names = argv or list(BENCHES)
+    out_path = os.path.join(REPO, "benchmarks", "results.jsonl")
+    with open(out_path, "a") as f:
+        for name in names:
+            result = BENCHES[name]()
+            result["time"] = time.time()
+            print(json.dumps(result))
+            f.write(json.dumps(result) + "\n")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
