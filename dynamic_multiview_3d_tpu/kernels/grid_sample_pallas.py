@@ -23,9 +23,12 @@ coord-gradients match torch's grid_sample); "border" clamps tap indices
 
 Kernel layout: grid (batch, pixel-block); channels are a static in-kernel
 loop so the one-hot weights are built once per block and shared. Images are
-NCHW inside the kernel ([H, W] tiles, W on lanes); the public wrappers take
-and return the framework's NHWC. d_img accumulates across pixel-block grid
-steps (consecutive revisits of the same output block — pipeline-safe).
+NCHW inside the kernel ([H, W] tiles, W on lanes); pixels ride the LANE axis
+everywhere else (coords/outputs [.., 1, P], transposed weights [H|W, P]),
+so the kernel body has zero relayouts and zero lane-padding waste. The
+public wrappers take and return the framework's NHWC. d_img accumulates
+across pixel-block grid steps (consecutive revisits of the same output
+block — pipeline-safe).
 """
 
 from __future__ import annotations
@@ -54,28 +57,27 @@ def _pixel_block(total: int, target: int = 2048) -> int:
 
 
 def _plan(total: int) -> int:
-    """Pixel-block size pb for coords shaped [N, total, 1], block (1, pb, 1).
+    """Pixel-block size pb for coords shaped [N, nb, 1, pb], block (1,1,1,pb).
 
-    Pixels ride the SUBLANE axis (the one-hot matmuls want [P, H] with P on
-    sublanes, so no in-kernel relayout happens); the trailing size-1 lane
-    axis equals the full array dim, which Mosaic accepts. pb must divide
-    ``total`` and (for compiled mode) be a multiple of 8 — callers fall back
-    to the jnp path when that's impossible (kernel_supported)."""
-    # NOTE pb stays modest: the (pb, 1) coordinate/output buffers are padded
-    # to 128 lanes in VMEM, so each costs pb*128*4 bytes — pb=512 keeps the
-    # whole working set (coords, outputs, one-hots, double buffers) well
-    # under the 16 MB VMEM budget.
-    if total % 8 == 0:
-        pb = 8 * _pixel_block(total // 8, target=64)    # pb <= 512
-    else:
-        pb = total                                      # single full block
-    return pb
+    Pixels ride the LANE axis end to end: the one-hot weights are built
+    transposed ([H, P] / [W, P], lane-oriented), the gather matmul contracts
+    over sublanes via dot_general, and the x-reduction collapses the sublane
+    axis into a (1, P) lane vector — no relayouts, and none of the 128x
+    VMEM/DMA padding a (P, 1) sublane layout would cost. pb must divide
+    ``total`` and (compiled) be a multiple of 128 — callers fall back to the
+    jnp path otherwise (kernel_supported)."""
+    if total % 128 == 0:
+        return 128 * _pixel_block(total // 128, target=16)   # pb <= 2048
+    return total                                             # single block
 
 
-def _weights(coord, size, padding_mode):
-    """coord [P,1] -> (W [P,size], U [P,size]) lerp weights + d/dcoord."""
-    c0 = jnp.floor(coord)
-    frac = coord - c0
+def _weights_t(coord_row, size, padding_mode):
+    """coord [1, P] -> transposed (W [size, P], U [size, P]) lerp weights.
+
+    W has two nonzeros per COLUMN: (1-frac) at row i0, frac at row i0+1;
+    U = dW/dcoord. Lane-oriented throughout (P on lanes)."""
+    c0 = jnp.floor(coord_row)
+    frac = coord_row - c0                                 # [1, P]
     i0 = c0.astype(jnp.int32)
     i1 = i0 + 1
     if padding_mode == "zeros":
@@ -92,85 +94,100 @@ def _weights(coord, size, padding_mode):
         u1 = jnp.ones_like(frac)
     i0c = jnp.clip(i0, 0, size - 1)
     i1c = jnp.clip(i1, 0, size - 1)
-    p = coord.shape[0]
-    iota = jax.lax.broadcasted_iota(jnp.int32, (p, size), 1)
-    onehot0 = (iota == i0c).astype(jnp.float32)
+    p = coord_row.shape[1]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (size, p), 0)
+    onehot0 = (iota == i0c).astype(jnp.float32)           # [size, P]
     onehot1 = (iota == i1c).astype(jnp.float32)
     return onehot0 * w0 + onehot1 * w1, onehot0 * u0 + onehot1 * u1
 
 
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _contract_first(a, b):
+    """[K, M] x [K, N] -> [M, N], contracting the leading (sublane) dim."""
+    return jax.lax.dot_general(
+        a, b, dimension_numbers=(((0,), (0,)), ((), ())),
+        precision=_HI, preferred_element_type=jnp.float32)
+
+
+def _contract_last(a, b):
+    """[M, K] x [N, K] -> [M, N], contracting the trailing (lane) dim."""
+    return jax.lax.dot_general(
+        a, b, dimension_numbers=(((1,), (1,)), ((), ())),
+        precision=_HI, preferred_element_type=jnp.float32)
+
+
 def _fwd_kernel(ix_ref, iy_ref, img_ref, out_ref, *, channels, h, w,
                 padding_mode):
-    ix = ix_ref[0]                                        # [P, 1] sublanes
-    iy = iy_ref[0]
-    wy, _ = _weights(iy, h, padding_mode)                 # [P, H]
-    wx, _ = _weights(ix, w, padding_mode)                 # [P, W]
+    ix = ix_ref[0, 0]                                     # [1, P] lanes
+    iy = iy_ref[0, 0]
+    wy_t, _ = _weights_t(iy, h, padding_mode)             # [H, P]
+    wx_t, _ = _weights_t(ix, w, padding_mode)             # [W, P]
     for c in range(channels):                             # static unroll
-        tmp = jnp.dot(wy, img_ref[0, c], precision=jax.lax.Precision.HIGHEST,
-                      preferred_element_type=jnp.float32)  # [P, W] on MXU
-        out_ref[0, c] = jnp.sum(tmp * wx, axis=1, keepdims=True)
+        # img [H, W] x wy_t [H, P] -> tmp_t [W, P]: gather+y-lerp on the MXU
+        tmp_t = _contract_first(img_ref[0, c], wy_t)
+        # x-lerp: weighted sublane reduction -> (1, P) lane vector
+        out_ref[0, c, 0] = jnp.sum(tmp_t * wx_t, axis=0, keepdims=True)
 
 
 def _bwd_kernel(ix_ref, iy_ref, img_ref, dout_ref,
                 dimg_ref, dix_ref, diy_ref, *, channels, h, w, padding_mode):
-    ix = ix_ref[0]                                        # [P, 1] sublanes
-    iy = iy_ref[0]
-    p = ix.shape[0]
-    wy, uy = _weights(iy, h, padding_mode)
-    wx, ux = _weights(ix, w, padding_mode)
+    ix = ix_ref[0, 0]                                     # [1, P] lanes
+    iy = iy_ref[0, 0]
+    p = ix.shape[1]
+    wy_t, uy_t = _weights_t(iy, h, padding_mode)          # [H, P]
+    wx_t, ux_t = _weights_t(ix, w, padding_mode)          # [W, P]
 
     @pl.when(pl.program_id(1) == 0)
     def _():
         dimg_ref[0] = jnp.zeros_like(dimg_ref[0])
 
-    dix = jnp.zeros((p, 1), jnp.float32)
-    diy = jnp.zeros((p, 1), jnp.float32)
+    dix = jnp.zeros((1, p), jnp.float32)
+    diy = jnp.zeros((1, p), jnp.float32)
     for c in range(channels):
         img = img_ref[0, c]                               # [H, W]
-        dout = dout_ref[0, c]                             # [P, 1]
-        # d_img = W_y^T @ (dout * W_x): the P dim contracts on the MXU —
-        # this IS the 4-neighbor scatter-add, as a matmul.
-        dimg_ref[0, c] += jax.lax.dot_general(
-            wy, dout * wx, dimension_numbers=(((0,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)
-        tmp = jnp.dot(wy, img, precision=jax.lax.Precision.HIGHEST,
-                      preferred_element_type=jnp.float32)
-        dtmp_dy = jnp.dot(uy, img, precision=jax.lax.Precision.HIGHEST,
-                          preferred_element_type=jnp.float32)
-        dix += jnp.sum(tmp * ux, axis=1, keepdims=True) * dout
-        diy += jnp.sum(dtmp_dy * wx, axis=1, keepdims=True) * dout
-    dix_ref[0] = dix
-    diy_ref[0] = diy
+        dout = dout_ref[0, c, 0]                          # [1, P]
+        # d_img[h,w] = sum_p wy_t[h,p] * dout[p] * wx_t[w,p]: contract the
+        # pixel (lane) dim on the MXU — this IS the scatter-add, as a matmul.
+        dimg_ref[0, c] += _contract_last(wy_t * dout, wx_t)
+        tmp_t = _contract_first(img, wy_t)                # [W, P]
+        dtmp_dy_t = _contract_first(img, uy_t)            # [W, P]
+        dix += jnp.sum(tmp_t * ux_t, axis=0, keepdims=True) * dout
+        diy += jnp.sum(dtmp_dy_t * wx_t, axis=0, keepdims=True) * dout
+    dix_ref[0, 0] = dix
+    diy_ref[0, 0] = diy
 
 
 def _call_fwd(img_nchw, ix, iy, padding_mode, interpret):
     n, c, h, w = img_nchw.shape
     total = ix.shape[1]
     pb = _plan(total)
-    ix3 = ix.reshape(n, total, 1)
-    iy3 = iy.reshape(n, total, 1)
+    nb = total // pb
+    ix4 = ix.reshape(n, nb, 1, pb)
+    iy4 = iy.reshape(n, nb, 1, pb)
     kernel = functools.partial(_fwd_kernel, channels=c, h=h, w=w,
                                padding_mode=padding_mode)
-    coord_spec = pl.BlockSpec((1, pb, 1), lambda ni, bi: (ni, bi, 0),
+    coord_spec = pl.BlockSpec((1, 1, 1, pb), lambda ni, bi: (ni, bi, 0, 0),
                               memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
-        grid=(n, total // pb),
+        grid=(n, nb),
         in_specs=[
             coord_spec, coord_spec,
             pl.BlockSpec((1, c, h, w), lambda ni, bi: (ni, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, c, pb, 1), lambda ni, bi: (ni, 0, bi, 0),
+        out_specs=pl.BlockSpec((1, c, 1, 1, pb),
+                               lambda ni, bi: (ni, 0, bi, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, c, total, 1), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n, c, nb, 1, pb), jnp.float32),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * n * c * total * h,  # the W_y @ img matmuls dominate
+            flops=2 * n * c * total * h,  # the gather matmuls dominate
             bytes_accessed=4 * n * c * (h * w + 3 * total),
             transcendentals=0),
-    )(ix3, iy3, img_nchw)
+    )(ix4, iy4, img_nchw)
     return out.reshape(n, c, total)
 
 
@@ -178,31 +195,31 @@ def _call_bwd(img_nchw, ix, iy, dout, padding_mode, interpret):
     n, c, h, w = img_nchw.shape
     total = ix.shape[1]
     pb = _plan(total)
-    ix3 = ix.reshape(n, total, 1)
-    iy3 = iy.reshape(n, total, 1)
-    dout4 = dout.reshape(n, c, total, 1)
+    nb = total // pb
+    ix4 = ix.reshape(n, nb, 1, pb)
+    iy4 = iy.reshape(n, nb, 1, pb)
+    dout5 = dout.reshape(n, c, nb, 1, pb)
     kernel = functools.partial(_bwd_kernel, channels=c, h=h, w=w,
                                padding_mode=padding_mode)
-    coord_spec = pl.BlockSpec((1, pb, 1), lambda ni, bi: (ni, bi, 0),
+    coord_spec = pl.BlockSpec((1, 1, 1, pb), lambda ni, bi: (ni, bi, 0, 0),
                               memory_space=pltpu.VMEM)
     img_spec = pl.BlockSpec((1, c, h, w), lambda ni, bi: (ni, 0, 0, 0),
                             memory_space=pltpu.VMEM)
+    dout_spec = pl.BlockSpec((1, c, 1, 1, pb),
+                             lambda ni, bi: (ni, 0, bi, 0, 0),
+                             memory_space=pltpu.VMEM)
     dimg, dix, diy = pl.pallas_call(
         kernel,
-        grid=(n, total // pb),
-        in_specs=[
-            coord_spec, coord_spec, img_spec,
-            pl.BlockSpec((1, c, pb, 1), lambda ni, bi: (ni, 0, bi, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        grid=(n, nb),
+        in_specs=[coord_spec, coord_spec, img_spec, dout_spec],
         out_specs=[img_spec, coord_spec, coord_spec],
         out_shape=[
             jax.ShapeDtypeStruct((n, c, h, w), jnp.float32),
-            jax.ShapeDtypeStruct((n, total, 1), jnp.float32),
-            jax.ShapeDtypeStruct((n, total, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n, nb, 1, pb), jnp.float32),
+            jax.ShapeDtypeStruct((n, nb, 1, pb), jnp.float32),
         ],
         interpret=interpret,
-    )(ix3, iy3, img_nchw, dout4)
+    )(ix4, iy4, img_nchw, dout5)
     return dimg, dix.reshape(n, total), diy.reshape(n, total)
 
 
