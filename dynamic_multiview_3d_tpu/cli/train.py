@@ -23,6 +23,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--logdir", default="/tmp/dmv3d_logs")
     p.add_argument("--parallel-mode", default="shard_map",
                    choices=["shard_map", "auto"])
+    p.add_argument("--profile-dir", default=None,
+                   help="capture an xprof trace of a few steps here")
     return p
 
 
@@ -36,7 +38,8 @@ def main(argv=None) -> None:
     writer = metrics_lib.MetricsWriter(args.logdir)
     try:
         state, metrics = loop_lib.train(cfg, writer=writer,
-                                        parallel_mode=args.parallel_mode)
+                                        parallel_mode=args.parallel_mode,
+                                        profile_dir=args.profile_dir)
         print({k: round(v, 5) for k, v in metrics.items()})
     finally:
         writer.close()

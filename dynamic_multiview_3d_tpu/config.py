@@ -52,6 +52,10 @@ class DataConfig:
     grain_workers: int = 4           # host-side decode worker count
     prefetch: int = 2
     use_native_packer: bool = True   # C++ decode/pack path when the .so is built
+    device_preprocess: bool = True   # ship uint8, normalize on device (in-step)
+    targets_per_step: int = 0        # >0: subsample K targets on device with
+                                     # jax.random.fold_in(step) (view-pair
+                                     # sampling inside the jitted step)
 
 
 @dataclasses.dataclass(frozen=True)

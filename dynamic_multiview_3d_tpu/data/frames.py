@@ -62,7 +62,16 @@ class FrameFolderScenes:
                             f"v{view:03d}_t{t:03d}.png")
         return np.asarray(imageio.imread(path))
 
-    def example(self, index: int) -> dict:
+    def _resize_u8(self, frames: np.ndarray) -> np.ndarray:
+        s = self.cfg.image_size
+        if frames.shape[1:3] == (s, s):
+            return frames
+        import cv2
+        return np.stack([
+            cv2.resize(f, (s, s), interpolation=cv2.INTER_LINEAR)
+            for f in frames])
+
+    def example(self, index: int, raw: bool = False) -> dict:
         cfg = self.cfg
         scene = self.scenes[index % len(self.scenes)]
         meta = self._meta(scene)
@@ -84,16 +93,23 @@ class FrameFolderScenes:
             for v in tgt_views])
 
         s = cfg.image_size
+        if raw:
+            # uint8 path: resize on host, normalize on device (pipeline.preprocess)
+            image_seq = self._resize_u8(frames)
+            tgt_images = self._resize_u8(targets)
+        else:
+            image_seq = native.resize_normalize_pack(frames, s, s)
+            tgt_images = native.resize_normalize_pack(targets, s, s)
         return {
-            "image_seq": native.resize_normalize_pack(frames, s, s),
+            "image_seq": image_seq,
             "src_poses": np.broadcast_to(
                 poses[src_view], (t_len, 3)).astype(np.float32).copy(),
             "tgt_poses": poses[tgt_views].astype(np.float32),
-            "tgt_images": native.resize_normalize_pack(targets, s, s),
+            "tgt_images": tgt_images,
         }
 
-    def batch(self, indices) -> dict:
-        exs = [self.example(int(i)) for i in indices]
+    def batch(self, indices, raw: bool = False) -> dict:
+        exs = [self.example(int(i), raw=raw) for i in indices]
         return {k: np.stack([e[k] for e in exs]) for k in exs[0]}
 
 

@@ -148,8 +148,13 @@ class SyntheticScenes:
         return np.stack(
             [az, el, np.full(n, self.radius)], axis=-1).astype(np.float32)
 
-    def example(self, index: int) -> dict:
-        """One training example: source sequence + target views + poses."""
+    def example(self, index: int, raw: bool = False) -> dict:
+        """One training example: source sequence + target views + poses.
+
+        raw=True keeps images uint8 — normalization then happens on-device
+        inside the jitted train step (data.pipeline.preprocess), quartering
+        host->device transfer vs float32.
+        """
         scene_id = index % self.num_scenes
         rng = np.random.default_rng(
             np.random.SeedSequence([self.seed + 1, int(index)]))
@@ -174,15 +179,16 @@ class SyntheticScenes:
             self.render(scene_id, tgt_poses[j], time=t_final)
             for j in range(k)
         ])
+        convert = (lambda x: x) if raw else to_model
         return {
-            "image_seq": to_model(frames),          # [T, H, W, 3] in [-1, 1]
+            "image_seq": convert(frames),           # [T, H, W, 3]
             "src_poses": src_poses,                 # [T, 3]
             "tgt_poses": tgt_poses,                 # [K, 3]
-            "tgt_images": to_model(targets),        # [K, H, W, 3] in [-1, 1]
+            "tgt_images": convert(targets),         # [K, H, W, 3]
         }
 
-    def batch(self, indices) -> dict:
-        exs = [self.example(int(i)) for i in indices]
+    def batch(self, indices, raw: bool = False) -> dict:
+        exs = [self.example(int(i), raw=raw) for i in indices]
         return {k: np.stack([e[k] for e in exs]) for k in exs[0]}
 
 

@@ -37,8 +37,13 @@ def restore_latest(mgr: ocp.CheckpointManager,
 
 
 def train(cfg: config_lib.Config, *, writer: metrics_lib.MetricsWriter | None
-          = None, data_source=None, parallel_mode: str = "shard_map"):
-    """Run training per cfg. Returns (final_state, last_metrics)."""
+          = None, data_source=None, parallel_mode: str = "shard_map",
+          profile_dir: str | None = None,
+          profile_steps: tuple[int, int] = (10, 15)):
+    """Run training per cfg. Returns (final_state, last_metrics).
+
+    profile_dir: when set, steps [profile_steps) are captured with
+    jax.profiler.trace for xprof/tensorboard (SURVEY.md §5 tracing)."""
     if cfg.mesh.multihost and jax.process_count() == 1:
         jax.distributed.initialize()
 
@@ -68,14 +73,24 @@ def train(cfg: config_lib.Config, *, writer: metrics_lib.MetricsWriter | None
     last_metrics: dict = {}
     t_last = time.perf_counter()
     for step in range(start_step, cfg.train.num_steps):
+        if profile_dir and step == profile_steps[0]:
+            jax.profiler.start_trace(profile_dir)
         batch = mesh_lib.shard_batch(mesh, batch_for_step(step))
         state, metrics = step_fn(state, batch)
+        if profile_dir and step + 1 == profile_steps[1]:
+            jax.block_until_ready(metrics)
+            jax.profiler.stop_trace()
 
         if cfg.train.fail_after_step >= 0 and step >= cfg.train.fail_after_step:
             # flush a checkpoint exactly as a healthy run would have, then die
             mgr.save(step + 1, args=ocp.args.StandardSave(state), force=True)
             mgr.wait_until_finished()
             raise FaultInjected(f"injected failure after step {step}")
+
+        if (writer is not None and writer.has_images
+                and (step + 1) % cfg.train.ckpt_every == 0):
+            _write_image_summaries(cfg, writer, state, batch_for_step(0),
+                                   step + 1)
 
         if (step + 1) % cfg.train.log_every == 0 or step == start_step:
             metrics = {k: float(v) for k, v in metrics.items()}
@@ -98,11 +113,36 @@ def train(cfg: config_lib.Config, *, writer: metrics_lib.MetricsWriter | None
     return state, last_metrics
 
 
+def _write_image_summaries(cfg, writer, state, batch, step, n: int = 2):
+    """Pred-vs-target grids to tensorboard (SURVEY.md R18)."""
+    from dynamic_multiview_3d_tpu.data import pipeline as pipeline_lib
+    from dynamic_multiview_3d_tpu.data.synthetic import to_uint8
+    from dynamic_multiview_3d_tpu.models import DMV3D
+
+    small = {k: jax.device_put(v[:n]) for k, v in batch.items()}
+    small = pipeline_lib.preprocess(small)
+    view = jax.jit(DMV3D(cfg.model).apply)(
+        {"params": state.params}, small["image_seq"], small["src_poses"],
+        small["tgt_poses"])["view"]
+    pred = np.asarray(view)[:, 0]
+    tgt = np.asarray(small["tgt_images"])[:, 0]
+    grid = np.concatenate([pred, tgt], axis=2)      # side by side
+    writer.write_images(step, "pred_vs_target", to_uint8(grid))
+
+
 def _make_batch_fn(cfg: config_lib.Config, data_source):
-    """Deterministic step -> global numpy batch (resume == replay)."""
+    """Deterministic step -> global numpy batch (resume == replay).
+
+    With device_preprocess, images stay uint8 on the host and are
+    normalized inside the jitted step (data.pipeline.preprocess)."""
     bsz = cfg.data.batch_size
+    raw = cfg.data.device_preprocess
 
     def batch_for_step(step: int) -> dict:
-        return data_source.batch(range(step * bsz, (step + 1) * bsz))
+        idx = range(step * bsz, (step + 1) * bsz)
+        try:
+            return data_source.batch(idx, raw=raw)
+        except TypeError:  # custom sources without a raw path
+            return data_source.batch(idx)
 
     return batch_for_step

@@ -91,6 +91,10 @@ class MetricsWriter:
                 for k, v in metrics.items():
                     tf.summary.scalar(k, float(v), step=int(step))
 
+    @property
+    def has_images(self) -> bool:
+        return self._tb is not None
+
     def write_images(self, step: int, tag: str, images: np.ndarray) -> None:
         """images uint8 [N,H,W,3] — pred-vs-target grids (R18)."""
         if self._tb is not None:

@@ -65,11 +65,23 @@ def _loss_and_metrics(apply_fn: Callable, params, batch, tcfg):
 
 def make_train_step(cfg: Config, mesh=None, mode: str = "shard_map",
                     apply_fn: Callable | None = None) -> Callable:
-    """-> step(state, batch) -> (state, metrics). Donates state buffers."""
+    """-> step(state, batch) -> (state, metrics). Donates state buffers.
+
+    On-device preprocessing (uint8 normalize + optional view-pair
+    subsampling) runs inside this jitted step — see data.pipeline.preprocess.
+    """
+    from dynamic_multiview_3d_tpu.data import pipeline as pipeline_lib
+
     tcfg = cfg.train
+    k_sample = cfg.data.targets_per_step
+    data_seed = cfg.data.seed
     apply_fn = apply_fn or DMV3D(cfg.model).apply
 
     def _step(state: TrainState, batch: dict, pmean_axis: str | None):
+        key = jax.random.fold_in(jax.random.key(data_seed), state.step)
+        batch = pipeline_lib.preprocess(batch, key=key,
+                                        targets_per_step=k_sample)
+
         def loss_fn(params):
             return _loss_and_metrics(apply_fn, params, batch, tcfg)
 

@@ -148,3 +148,42 @@ def test_dynamic_sequence_training_with_remat(tmp_path):
             first = float(m["loss/total"])
     assert np.isfinite(float(m["loss/total"]))
     assert float(m["loss/total"]) < 0.8 * first
+
+
+def test_device_preprocess_uint8_matches_float(tmp_path):
+    """uint8 batches normalized on-device give the same loss as host floats."""
+    cfg = tiny_cfg(tmp_path)
+    src = SyntheticScenes(num_scenes=1, image_size=32)
+    batch_f = jax.device_put(src.batch(range(4)))
+    batch_u = jax.device_put(src.batch(range(4), raw=True))
+    assert batch_u["image_seq"].dtype == jnp.uint8
+    state = step_lib.init_state(cfg)
+    step_fn = step_lib.make_train_step(cfg)
+    _, m_f = step_fn(state, batch_f)
+    state2 = step_lib.init_state(cfg)
+    _, m_u = step_fn(state2, batch_u)
+    np.testing.assert_allclose(float(m_f["loss/total"]),
+                               float(m_u["loss/total"]), rtol=1e-6)
+
+
+def test_on_device_target_subsampling(tmp_path):
+    """targets_per_step picks K' of K targets inside the jitted step."""
+    from dynamic_multiview_3d_tpu.data import pipeline as pipeline_lib
+    cfg = tiny_cfg(tmp_path, overrides=[
+        "data.num_targets=4", "data.targets_per_step=2"])
+    src = SyntheticScenes(num_scenes=1, image_size=32, num_targets=4)
+    batch = jax.device_put(src.batch(range(2), raw=True))
+    pre = pipeline_lib.preprocess(batch, key=jax.random.key(0),
+                                  targets_per_step=2)
+    assert pre["tgt_poses"].shape == (2, 2, 3)
+    assert pre["tgt_images"].shape[1] == 2
+    # different steps pick different subsets (statistically)
+    pre2 = pipeline_lib.preprocess(batch, key=jax.random.key(1),
+                                   targets_per_step=2)
+    assert not np.allclose(np.asarray(pre["tgt_poses"]),
+                           np.asarray(pre2["tgt_poses"]))
+    # and the full train step runs with it
+    state = step_lib.init_state(cfg)
+    step_fn = step_lib.make_train_step(cfg)
+    _, m = step_fn(state, batch)
+    assert np.isfinite(float(m["loss/total"]))
