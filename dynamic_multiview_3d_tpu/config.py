@@ -27,6 +27,8 @@ class ModelConfig:
     max_flow: float = 0.5            # flow head range as a fraction of image size
     predict_depth: bool = False      # enable depth head + depth-reprojection path
     use_pallas: bool = True          # Pallas kernels on TPU, jnp fallback elsewhere
+    warp_precision: str = "fast"     # "fast": 1-pass bf16 MXU (exact one-hots,
+                                     # image sees bf16); "exact": f32 3-pass
     remat_scan: bool = False         # jax.checkpoint the recurrent scan body
     synthesis: str = "flow"          # "flow" (warp+mask+rgb) | "depth" (reproject)
     dtype: str = "bfloat16"          # compute dtype (params stay float32)

@@ -71,23 +71,26 @@ def _plan(total: int) -> int:
     return total                                             # single block
 
 
-def _weights_t(coord_row, size, padding_mode):
-    """coord [1, P] -> transposed (W [size, P], U [size, P]) lerp weights.
+def _taps_t(coord_row, size, padding_mode):
+    """coord [1, P] -> (oh0, oh1 [size, P] masked EXACT one-hots;
+    w0, w1, u0, u1 [1, P] lerp factors and their d/dcoord).
 
-    W has two nonzeros per COLUMN: (1-frac) at row i0, frac at row i0+1;
-    U = dW/dcoord. Lane-oriented throughout (P on lanes)."""
+    The composed weight matrix is W = oh0*w0 + oh1*w1 (two nonzeros per
+    column) and U = oh0*u0 + oh1*u1. The masked one-hots hold only 0/1 —
+    exact in bf16 — which the fast path exploits. Lane-oriented (P lanes)."""
     c0 = jnp.floor(coord_row)
     frac = coord_row - c0                                 # [1, P]
     i0 = c0.astype(jnp.int32)
     i1 = i0 + 1
     if padding_mode == "zeros":
-        ok0 = ((i0 >= 0) & (i0 <= size - 1)).astype(jnp.float32)
-        ok1 = ((i1 >= 0) & (i1 <= size - 1)).astype(jnp.float32)
-        w0 = (1.0 - frac) * ok0
-        w1 = frac * ok1
-        u0 = -ok0
-        u1 = ok1
+        ok0 = ((i0 >= 0) & (i0 <= size - 1))
+        ok1 = ((i1 >= 0) & (i1 <= size - 1))
+        w0 = (1.0 - frac)
+        w1 = frac
+        u0 = -jnp.ones_like(frac)
+        u1 = jnp.ones_like(frac)
     else:  # border: clamp tap indices, weights unchanged
+        ok0 = ok1 = None
         w0 = 1.0 - frac
         w1 = frac
         u0 = -jnp.ones_like(frac)
@@ -96,9 +99,19 @@ def _weights_t(coord_row, size, padding_mode):
     i1c = jnp.clip(i1, 0, size - 1)
     p = coord_row.shape[1]
     iota = jax.lax.broadcasted_iota(jnp.int32, (size, p), 0)
-    onehot0 = (iota == i0c).astype(jnp.float32)           # [size, P]
-    onehot1 = (iota == i1c).astype(jnp.float32)
-    return onehot0 * w0 + onehot1 * w1, onehot0 * u0 + onehot1 * u1
+    onehot0 = (iota == i0c)
+    onehot1 = (iota == i1c)
+    if ok0 is not None:  # fold the zeros-padding mask into the one-hots
+        onehot0 = onehot0 & ok0
+        onehot1 = onehot1 & ok1
+    return (onehot0.astype(jnp.float32), onehot1.astype(jnp.float32),
+            w0, w1, u0, u1)
+
+
+def _weights_t(coord_row, size, padding_mode):
+    """Composed (W [size, P], U [size, P]) for the exact path."""
+    oh0, oh1, w0, w1, u0, u1 = _taps_t(coord_row, size, padding_mode)
+    return oh0 * w0 + oh1 * w1, oh0 * u0 + oh1 * u1
 
 
 _HI = jax.lax.Precision.HIGHEST
@@ -118,26 +131,50 @@ def _contract_last(a, b):
         precision=_HI, preferred_element_type=jnp.float32)
 
 
+def _contract_lo(a, b, last: bool = False):
+    """Single-pass (DEFAULT-precision) bf16 contraction, f32 accumulate."""
+    dims = ((1,), (1,)) if last else ((0,), (0,))
+    return jax.lax.dot_general(
+        a, b, dimension_numbers=(dims, ((), ())),
+        precision=jax.lax.Precision.DEFAULT,
+        preferred_element_type=jnp.float32)
+
+
 def _fwd_kernel(ix_ref, iy_ref, img_ref, out_ref, *, channels, h, w,
-                padding_mode):
+                padding_mode, mode):
     ix = ix_ref[0, 0]                                     # [1, P] lanes
     iy = iy_ref[0, 0]
-    wy_t, _ = _weights_t(iy, h, padding_mode)             # [H, P]
-    wx_t, _ = _weights_t(ix, w, padding_mode)             # [W, P]
-    for c in range(channels):                             # static unroll
-        # img [H, W] x wy_t [H, P] -> tmp_t [W, P]: gather+y-lerp on the MXU
-        tmp_t = _contract_first(img_ref[0, c], wy_t)
-        # x-lerp: weighted sublane reduction -> (1, P) lane vector
+    if mode == "exact":
+        wy_t, _ = _weights_t(iy, h, padding_mode)         # [H, P]
+        wx_t, _ = _weights_t(ix, w, padding_mode)         # [W, P]
+        for c in range(channels):                         # static unroll
+            # img [H,W] x wy_t [H,P] -> tmp_t [W,P]: gather+y-lerp on MXU
+            tmp_t = _contract_first(img_ref[0, c], wy_t)
+            # x-lerp: weighted sublane reduction -> (1, P) lane vector
+            out_ref[0, c, 0] = jnp.sum(tmp_t * wx_t, axis=0, keepdims=True)
+        return
+    # fast: the one-hots are EXACT in bf16 (0/1), so split the y-lerp out of
+    # the matmul — two single-pass bf16 matmuls + f32 VPU lerp instead of one
+    # 3-pass f32 matmul. Only the image's bf16 truncation remains as error.
+    oh0y, oh1y, w0y, w1y, _, _ = _taps_t(iy, h, padding_mode)
+    oh0x, oh1x, w0x, w1x, _, _ = _taps_t(ix, w, padding_mode)
+    wx_t = oh0x * w0x + oh1x * w1x                        # f32, VPU side
+    oh0y = oh0y.astype(jnp.bfloat16)
+    oh1y = oh1y.astype(jnp.bfloat16)
+    for c in range(channels):
+        img_b = img_ref[0, c].astype(jnp.bfloat16)
+        t0 = _contract_lo(img_b, oh0y)                    # [W, P] f32 out
+        t1 = _contract_lo(img_b, oh1y)
+        tmp_t = t0 * w0y + t1 * w1y                       # y-lerp on VPU
         out_ref[0, c, 0] = jnp.sum(tmp_t * wx_t, axis=0, keepdims=True)
 
 
 def _bwd_kernel(ix_ref, iy_ref, img_ref, dout_ref,
-                dimg_ref, dix_ref, diy_ref, *, channels, h, w, padding_mode):
+                dimg_ref, dix_ref, diy_ref, *, channels, h, w, padding_mode,
+                mode):
     ix = ix_ref[0, 0]                                     # [1, P] lanes
     iy = iy_ref[0, 0]
     p = ix.shape[1]
-    wy_t, uy_t = _weights_t(iy, h, padding_mode)          # [H, P]
-    wx_t, ux_t = _weights_t(ix, w, padding_mode)          # [W, P]
 
     @pl.when(pl.program_id(1) == 0)
     def _():
@@ -145,21 +182,48 @@ def _bwd_kernel(ix_ref, iy_ref, img_ref, dout_ref,
 
     dix = jnp.zeros((1, p), jnp.float32)
     diy = jnp.zeros((1, p), jnp.float32)
+
+    if mode == "exact":
+        wy_t, uy_t = _weights_t(iy, h, padding_mode)      # [H, P]
+        wx_t, ux_t = _weights_t(ix, w, padding_mode)      # [W, P]
+        for c in range(channels):
+            img = img_ref[0, c]                           # [H, W]
+            dout = dout_ref[0, c, 0]                      # [1, P]
+            # d_img[h,w] = sum_p wy_t[h,p]*dout[p]*wx_t[w,p]: contract the
+            # pixel (lane) dim on the MXU — the scatter-add, as a matmul.
+            dimg_ref[0, c] += _contract_last(wy_t * dout, wx_t)
+            tmp_t = _contract_first(img, wy_t)            # [W, P]
+            dtmp_dy_t = _contract_first(img, uy_t)        # [W, P]
+            dix += jnp.sum(tmp_t * ux_t, axis=0, keepdims=True) * dout
+            diy += jnp.sum(dtmp_dy_t * wx_t, axis=0, keepdims=True) * dout
+        dix_ref[0, 0] = dix
+        diy_ref[0, 0] = diy
+        return
+
+    # fast: u0=-1/u1=+1 with masks folded into the one-hots, so
+    # dtmp/dy = t1 - t0 falls out of the forward's two exact matmuls free.
+    oh0y, oh1y, w0y, w1y, _, _ = _taps_t(iy, h, padding_mode)
+    oh0x, oh1x, w0x, w1x, _, _ = _taps_t(ix, w, padding_mode)
+    wy_t = oh0y * w0y + oh1y * w1y
+    wx_t = oh0x * w0x + oh1x * w1x
+    ux_t = oh1x - oh0x
+    oh0y_b = oh0y.astype(jnp.bfloat16)
+    oh1y_b = oh1y.astype(jnp.bfloat16)
     for c in range(channels):
-        img = img_ref[0, c]                               # [H, W]
+        img_b = img_ref[0, c].astype(jnp.bfloat16)
         dout = dout_ref[0, c, 0]                          # [1, P]
-        # d_img[h,w] = sum_p wy_t[h,p] * dout[p] * wx_t[w,p]: contract the
-        # pixel (lane) dim on the MXU — this IS the scatter-add, as a matmul.
-        dimg_ref[0, c] += _contract_last(wy_t * dout, wx_t)
-        tmp_t = _contract_first(img, wy_t)                # [W, P]
-        dtmp_dy_t = _contract_first(img, uy_t)            # [W, P]
+        dimg_ref[0, c] += _contract_lo((wy_t * dout).astype(jnp.bfloat16),
+                                       wx_t.astype(jnp.bfloat16), last=True)
+        t0 = _contract_lo(img_b, oh0y_b)                  # [W, P]
+        t1 = _contract_lo(img_b, oh1y_b)
+        tmp_t = t0 * w0y + t1 * w1y
         dix += jnp.sum(tmp_t * ux_t, axis=0, keepdims=True) * dout
-        diy += jnp.sum(dtmp_dy_t * wx_t, axis=0, keepdims=True) * dout
+        diy += jnp.sum((t1 - t0) * wx_t, axis=0, keepdims=True) * dout
     dix_ref[0, 0] = dix
     diy_ref[0, 0] = diy
 
 
-def _call_fwd(img_nchw, ix, iy, padding_mode, interpret):
+def _call_fwd(img_nchw, ix, iy, padding_mode, interpret, mode):
     n, c, h, w = img_nchw.shape
     total = ix.shape[1]
     pb = _plan(total)
@@ -167,7 +231,7 @@ def _call_fwd(img_nchw, ix, iy, padding_mode, interpret):
     ix4 = ix.reshape(n, nb, 1, pb)
     iy4 = iy.reshape(n, nb, 1, pb)
     kernel = functools.partial(_fwd_kernel, channels=c, h=h, w=w,
-                               padding_mode=padding_mode)
+                               padding_mode=padding_mode, mode=mode)
     coord_spec = pl.BlockSpec((1, 1, 1, pb), lambda ni, bi: (ni, bi, 0, 0),
                               memory_space=pltpu.VMEM)
     out = pl.pallas_call(
@@ -191,7 +255,7 @@ def _call_fwd(img_nchw, ix, iy, padding_mode, interpret):
     return out.reshape(n, c, total)
 
 
-def _call_bwd(img_nchw, ix, iy, dout, padding_mode, interpret):
+def _call_bwd(img_nchw, ix, iy, dout, padding_mode, interpret, mode):
     n, c, h, w = img_nchw.shape
     total = ix.shape[1]
     pb = _plan(total)
@@ -200,7 +264,7 @@ def _call_bwd(img_nchw, ix, iy, dout, padding_mode, interpret):
     iy4 = iy.reshape(n, nb, 1, pb)
     dout5 = dout.reshape(n, c, nb, 1, pb)
     kernel = functools.partial(_bwd_kernel, channels=c, h=h, w=w,
-                               padding_mode=padding_mode)
+                               padding_mode=padding_mode, mode=mode)
     coord_spec = pl.BlockSpec((1, 1, 1, pb), lambda ni, bi: (ni, bi, 0, 0),
                               memory_space=pltpu.VMEM)
     img_spec = pl.BlockSpec((1, c, h, w), lambda ni, bi: (ni, 0, 0, 0),
@@ -227,28 +291,33 @@ def _call_bwd(img_nchw, ix, iy, dout, padding_mode, interpret):
 # Differentiable pixel-coordinate sampler (custom VJP around the kernels).
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def sample_pixel_coords(img_nchw, ix, iy, padding_mode="zeros",
-                        interpret=False):
+                        interpret=False, precision="exact"):
     """Bilinear-sample ``img_nchw`` [N,C,H,W] at pixel coords ix/iy [N,P].
 
     Returns [N, C, P] float32. Differentiable in image and coords.
+    precision="exact" keeps f32 everywhere (3-pass MXU dots);
+    "fast" runs single-pass bf16 matmuls against exact one-hots — only the
+    image/gradient values see bf16 truncation (~3 decimal digits), ~2-3x
+    faster. The model uses "fast" by default (cfg.model.warp_precision).
     """
     return _call_fwd(img_nchw.astype(jnp.float32), ix.astype(jnp.float32),
-                     iy.astype(jnp.float32), padding_mode, interpret)
+                     iy.astype(jnp.float32), padding_mode, interpret,
+                     precision)
 
 
-def _sample_fwd(img, ix, iy, padding_mode, interpret):
-    out = sample_pixel_coords(img, ix, iy, padding_mode, interpret)
+def _sample_fwd(img, ix, iy, padding_mode, interpret, precision):
+    out = sample_pixel_coords(img, ix, iy, padding_mode, interpret, precision)
     return out, (img, ix, iy)
 
 
-def _sample_bwd(padding_mode, interpret, res, dout):
+def _sample_bwd(padding_mode, interpret, precision, res, dout):
     img, ix, iy = res
     dimg, dix, diy = _call_bwd(
         img.astype(jnp.float32), ix.astype(jnp.float32),
         iy.astype(jnp.float32), dout.astype(jnp.float32),
-        padding_mode, interpret)
+        padding_mode, interpret, precision)
     return dimg.astype(img.dtype), dix.astype(ix.dtype), diy.astype(iy.dtype)
 
 
@@ -264,7 +333,7 @@ def kernel_supported(channels: int) -> bool:
 # ---------------------------------------------------------------------------
 
 def grid_sample(image, grid, *, align_corners=True, padding_mode="zeros",
-                interpret=False):
+                interpret=False, precision="exact"):
     """NHWC/normalized-grid API, Pallas path. See ops.sampling.grid_sample."""
     from dynamic_multiview_3d_tpu.ops import sampling
     n, h, w, c = image.shape
@@ -276,12 +345,14 @@ def grid_sample(image, grid, *, align_corners=True, padding_mode="zeros",
                                          align_corners)
     img_nchw = jnp.transpose(image, (0, 3, 1, 2))
     out = sample_pixel_coords(img_nchw, ix.reshape(n, ho * wo),
-                              iy.reshape(n, ho * wo), padding_mode, interpret)
+                              iy.reshape(n, ho * wo), padding_mode, interpret,
+                              precision)
     out = out.reshape(n, c, ho, wo)
     return jnp.transpose(out, (0, 2, 3, 1)).astype(image.dtype)
 
 
-def flow_warp(image, flow, *, padding_mode="border", interpret=False):
+def flow_warp(image, flow, *, padding_mode="border", interpret=False,
+              precision="exact"):
     """Appearance-flow warp, Pallas path: skips grid normalization entirely —
     pixel coords = base grid + flow feed the kernel directly."""
     from dynamic_multiview_3d_tpu.ops import sampling
@@ -294,6 +365,6 @@ def flow_warp(image, flow, *, padding_mode="border", interpret=False):
     img_nchw = jnp.transpose(image, (0, 3, 1, 2))
     out = sample_pixel_coords(
         img_nchw, coords[..., 0].reshape(n, h * w),
-        coords[..., 1].reshape(n, h * w), padding_mode, interpret)
+        coords[..., 1].reshape(n, h * w), padding_mode, interpret, precision)
     return jnp.transpose(out.reshape(n, c, h, w), (0, 2, 3, 1)) \
         .astype(image.dtype)

@@ -203,7 +203,8 @@ class DMV3D(nn.Module):
         impl = "pallas" if (cfg.use_pallas
                             and jax.default_backend() == "tpu") else "jnp"
         warped = sampling.flow_warp(last_frame, heads["flow"],
-                                    padding_mode="border", impl=impl)
+                                    padding_mode="border", impl=impl,
+                                    precision=cfg.warp_precision)
         mask = heads["mask"]
 
         out = {
@@ -224,7 +225,8 @@ class DMV3D(nn.Module):
             t_tgt = pose_ops.look_at_extrinsics(tgt_poses.reshape(b * k, -1))
             rel = pose_ops.relative_transform(t_src, t_tgt)
             geo_view, geo_valid = reproject_ops.depth_reproject_sample(
-                last_frame, depth, intr, rel, impl=impl)
+                last_frame, depth, intr, rel, impl=impl,
+                precision=cfg.warp_precision)
             out["depth"] = depth.reshape(b, k, h, w)
             out["geo_view"] = geo_view.reshape(b, k, h, w, 3)
             out["geo_valid"] = geo_valid.reshape(b, k, h, w)

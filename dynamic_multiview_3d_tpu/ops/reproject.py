@@ -56,7 +56,8 @@ def reproject_coords(depth: jnp.ndarray, intrinsics: jnp.ndarray,
 
 def depth_reproject_sample(src_image: jnp.ndarray, depth: jnp.ndarray,
                            intrinsics: jnp.ndarray, t_tgt2src: jnp.ndarray, *,
-                           padding_mode: str = "zeros", impl: str = "jnp"
+                           padding_mode: str = "zeros", impl: str = "jnp",
+                           precision: str = "exact"
                            ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Synthesize the target view by sampling ``src_image`` at reprojections.
 
@@ -67,5 +68,6 @@ def depth_reproject_sample(src_image: jnp.ndarray, depth: jnp.ndarray,
     coords, valid = reproject_coords(depth, intrinsics, t_tgt2src)
     grid = gs.normalize_coords(coords, h, w, align_corners=True)
     out = gs.grid_sample(src_image, grid, align_corners=True,
-                         padding_mode=padding_mode, impl=impl)
+                         padding_mode=padding_mode, impl=impl,
+                         precision=precision)
     return out * valid[..., None].astype(out.dtype), valid

@@ -93,7 +93,7 @@ def _grid_sample_jnp(image: jnp.ndarray, grid: jnp.ndarray,
 
 def grid_sample(image: jnp.ndarray, grid: jnp.ndarray, *,
                 align_corners: bool = True, padding_mode: str = "zeros",
-                impl: str = "jnp") -> jnp.ndarray:
+                impl: str = "jnp", precision: str = "exact") -> jnp.ndarray:
     """Bilinear sample ``image`` [N,H,W,C] at normalized ``grid`` [N,Ho,Wo,2].
 
     Fully differentiable in both ``image`` and ``grid``. ``impl='pallas'``
@@ -104,7 +104,8 @@ def grid_sample(image: jnp.ndarray, grid: jnp.ndarray, *,
     if impl == "pallas":
         from dynamic_multiview_3d_tpu.kernels import grid_sample_pallas
         return grid_sample_pallas.grid_sample(
-            image, grid, align_corners=align_corners, padding_mode=padding_mode)
+            image, grid, align_corners=align_corners,
+            padding_mode=padding_mode, precision=precision)
     return _grid_sample_jnp(image, grid, align_corners, padding_mode)
 
 
@@ -115,7 +116,8 @@ def grid_sample_nchw(image: jnp.ndarray, grid: jnp.ndarray, **kw) -> jnp.ndarray
 
 
 def flow_warp(image: jnp.ndarray, flow: jnp.ndarray, *,
-              padding_mode: str = "border", impl: str = "jnp") -> jnp.ndarray:
+              padding_mode: str = "border", impl: str = "jnp",
+              precision: str = "exact") -> jnp.ndarray:
     """Appearance-flow warp: sample ``image`` at (base grid + flow) pixels.
 
     image [N,H,W,C]; flow [N,H,W,2] in *pixel* displacement units (x, y).
@@ -125,7 +127,8 @@ def flow_warp(image: jnp.ndarray, flow: jnp.ndarray, *,
     if impl == "pallas":
         from dynamic_multiview_3d_tpu.kernels import grid_sample_pallas
         return grid_sample_pallas.flow_warp(image, flow,
-                                            padding_mode=padding_mode)
+                                            padding_mode=padding_mode,
+                                            precision=precision)
     n, h, w, _ = image.shape
     coords = base_grid(h, w, dtype=jnp.float32)[None] + flow.astype(jnp.float32)
     grid = normalize_coords(coords, h, w, align_corners=True)

@@ -106,3 +106,27 @@ def test_compiled_on_tpu_matches_jnp(rng):
     for a, b in zip(d_o, d_r):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=1e-3)
+
+
+def test_fast_precision_close_to_exact(rng):
+    """'fast' mode (single-pass bf16 against exact one-hots) only loses the
+    image's bf16 truncation — within ~1e-2 absolute on unit-scale data."""
+    img, grid = _data(rng, n=1, h=16, w=16, ho=16, wo=16, spread=1.1)
+    exact = gsp.grid_sample(img, grid, interpret=INTERP, precision="exact")
+    fast = gsp.grid_sample(img, grid, interpret=INTERP, precision="fast")
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(exact),
+                               rtol=2e-2, atol=2e-2)
+
+    def loss(prec):
+        def f(i, g):
+            out = gsp.grid_sample(i, g, interpret=INTERP, precision=prec)
+            return jnp.sum(out ** 2)
+        return jax.grad(f, argnums=(0, 1))
+
+    d_e = loss("exact")(img, grid)
+    d_f = loss("fast")(img, grid)
+    for a, b in zip(d_f, d_e):
+        a, b = np.asarray(a), np.asarray(b)
+        # bf16-relative: tolerance scales with the gradient's magnitude
+        np.testing.assert_allclose(a, b, rtol=5e-2,
+                                   atol=5e-3 * np.abs(b).max())
