@@ -55,6 +55,9 @@ class DataConfig:
     prefetch: int = 2
     use_native_packer: bool = True   # C++ decode/pack path when the .so is built
     device_preprocess: bool = True   # ship uint8, normalize on device (in-step)
+    streaming: bool = False          # pull batches from the Grain iterator
+                                     # (multi-worker prefetch; iterator state
+                                     # checkpointed) instead of index batches
     targets_per_step: int = 0        # >0: subsample K targets on device with
                                      # jax.random.fold_in(step) (view-pair
                                      # sampling inside the jitted step)

@@ -92,6 +92,12 @@ def make_grain_iterator(cfg: DataConfig, *, process_index: int | None = None,
             except TypeError:
                 return source.example(int(idx))
 
+        def __repr__(self):
+            # stable across processes: grain validates repr(data_source)
+            # when restoring iterator state
+            return (f"DMV3DSource(source={cfg.source!r}, n={len(self)}, "
+                    f"seed={cfg.seed}, size={cfg.image_size})")
+
     sampler = grain.IndexSampler(
         num_records=len(_Source()),
         shard_options=grain.ShardOptions(shard_index=pidx, shard_count=pcnt,

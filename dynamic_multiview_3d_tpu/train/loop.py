@@ -53,10 +53,18 @@ def train(cfg: config_lib.Config, *, writer: metrics_lib.MetricsWriter | None
         raise ValueError(
             f"global batch {cfg.data.batch_size} not divisible by data={n_data}")
 
-    if data_source is None:
-        from dynamic_multiview_3d_tpu.data import pipeline as pipeline_lib
-        data_source = pipeline_lib.make_source(cfg.data)
-    batch_for_step = _make_batch_fn(cfg, data_source)
+    from dynamic_multiview_3d_tpu.data import pipeline as pipeline_lib
+    grain_iter = None
+    if cfg.data.streaming:
+        # Grain streaming: worker-process decode + prefetch; iterator state
+        # rides with checkpoints for exact resume.
+        grain_iter = pipeline_lib.make_grain_iterator(cfg.data,
+                                                      num_epochs=None)
+        batch_for_step = lambda step: next(grain_iter)  # noqa: E731
+    else:
+        if data_source is None:
+            data_source = pipeline_lib.make_source(cfg.data)
+        batch_for_step = _make_batch_fn(cfg, data_source)
 
     state = step_lib.init_state(cfg)
     mgr = ckpt_lib.make_manager(cfg.train.ckpt_dir, cfg.train.max_to_keep,
@@ -66,6 +74,8 @@ def train(cfg: config_lib.Config, *, writer: metrics_lib.MetricsWriter | None
     if restored is not None:
         state = restored
         start_step = int(np.asarray(state.step))
+        if grain_iter is not None:
+            _restore_grain_state(cfg.train.ckpt_dir, start_step, grain_iter)
 
     state = jax.device_put(state, mesh_lib.replicate(mesh))
     step_fn = step_lib.make_train_step(cfg, mesh=mesh, mode=parallel_mode)
@@ -101,7 +111,9 @@ def train(cfg: config_lib.Config, *, writer: metrics_lib.MetricsWriter | None
             last_metrics = metrics
             if writer is not None:
                 writer.write(step + 1, metrics)
-        mgr.save(step + 1, args=ocp.args.StandardSave(state))
+        saved = mgr.save(step + 1, args=ocp.args.StandardSave(state))
+        if saved and grain_iter is not None:
+            _save_grain_state(cfg.train.ckpt_dir, step + 1, grain_iter)
 
     mgr.wait_until_finished()
     # Export in the Model.from_checkpoint format for eval/predict (T5).
@@ -111,6 +123,32 @@ def train(cfg: config_lib.Config, *, writer: metrics_lib.MetricsWriter | None
                             jax.device_get(state.params), cfg,
                             int(np.asarray(state.step)))
     return state, last_metrics
+
+
+def _grain_state_path(ckpt_dir: str, step: int) -> str:
+    import os
+    return os.path.join(os.path.abspath(ckpt_dir),
+                        f"grain_state_{step}_p{jax.process_index()}.json")
+
+
+def _save_grain_state(ckpt_dir: str, step: int, grain_iter) -> None:
+    """Grain iterator state rides next to the Orbax step (SURVEY.md §5)."""
+    try:
+        state = grain_iter.get_state()
+    except AttributeError:
+        return
+    import os
+    os.makedirs(os.path.abspath(ckpt_dir), exist_ok=True)
+    with open(_grain_state_path(ckpt_dir, step), "wb") as f:
+        f.write(state if isinstance(state, bytes) else bytes(state))
+
+
+def _restore_grain_state(ckpt_dir: str, step: int, grain_iter) -> None:
+    import os
+    path = _grain_state_path(ckpt_dir, step)
+    if os.path.exists(path):
+        with open(path, "rb") as f:
+            grain_iter.set_state(f.read())
 
 
 def _write_image_summaries(cfg, writer, state, batch, step, n: int = 2):

@@ -187,3 +187,28 @@ def test_on_device_target_subsampling(tmp_path):
     step_fn = step_lib.make_train_step(cfg)
     _, m = step_fn(state, batch)
     assert np.isfinite(float(m["loss/total"]))
+
+
+def test_streaming_grain_training_with_state_checkpoint(tmp_path):
+    """Streaming mode: batches from the Grain iterator; iterator state is
+    saved beside the Orbax step and restored on resume (SURVEY.md §5)."""
+    import os
+    cfg = tiny_cfg(tmp_path, overrides=[
+        "data.streaming=true", "data.grain_workers=0", "data.num_scenes=8",
+        "data.batch_size=4", "train.num_steps=2",
+        f"train.ckpt_dir={tmp_path}/stream",
+    ])
+    state, metrics = loop_lib.train(cfg)
+    assert int(np.asarray(state.step)) == 2
+    assert np.isfinite(metrics["loss/total"])
+    # grain state file exists next to the checkpoint
+    files = os.listdir(f"{tmp_path}/stream")
+    assert any(f.startswith("grain_state_2") for f in files), files
+    # resume continues from the saved iterator state
+    cfg2 = tiny_cfg(tmp_path, overrides=[
+        "data.streaming=true", "data.grain_workers=0", "data.num_scenes=8",
+        "data.batch_size=4", "train.num_steps=4",
+        f"train.ckpt_dir={tmp_path}/stream",
+    ])
+    state2, _ = loop_lib.train(cfg2)
+    assert int(np.asarray(state2.step)) == 4
