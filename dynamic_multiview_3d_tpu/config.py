@@ -20,7 +20,8 @@ class ModelConfig:
     base_features: int = 32          # encoder level-0 channels
     max_features: int = 256          # channel cap deeper in the stack
     num_levels: int = 5              # stride-2 downsamplings (128 -> 4)
-    gru_features: int = 256          # ConvGRU state channels at the bottleneck
+    gru_features: int = 256          # recurrent state channels at the bottleneck
+    rnn: str = "gru"                 # "gru" | "lstm" (ConvLSTM/GRU-style cell)
     pose_embed_dim: int = 64         # MLP embedding of the encoded pose
     pose_mode: str = "sincos"        # "sincos" (az/el/r) | "mat" (flat 4x4)
     norm: str = "group"              # "group" | "none"  (no batch stats -> DP-safe)

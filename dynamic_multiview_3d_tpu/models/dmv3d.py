@@ -26,6 +26,7 @@ from dynamic_multiview_3d_tpu.config import ModelConfig
 from dynamic_multiview_3d_tpu.models.layers import (
     ConvBlock,
     ConvGRUCell,
+    ConvLSTMCell,
     upsample2x,
 )
 from dynamic_multiview_3d_tpu.ops import pose as pose_ops
@@ -136,8 +137,13 @@ class _RecurrentStep(nn.Module):
     def __call__(self, carry, frame):
         h, _ = carry
         bottleneck, skips = Encoder(self.cfg, name="encoder")(frame)
-        h = ConvGRUCell(self.cfg.gru_features, dtype=_dtype(self.cfg),
-                        name="gru")(h.astype(_dtype(self.cfg)), bottleneck)
+        dt = _dtype(self.cfg)
+        if self.cfg.rnn == "lstm":
+            h = ConvLSTMCell(self.cfg.gru_features, dtype=dt,
+                             name="lstm")(h.astype(dt), bottleneck)
+        else:
+            h = ConvGRUCell(self.cfg.gru_features, dtype=dt,
+                            name="gru")(h.astype(dt), bottleneck)
         return (h, skips), None
 
 
@@ -167,8 +173,9 @@ class DMV3D(nn.Module):
         dt = _dtype(cfg)
 
         # --- temporal encode: lax.scan over frames, state + skips in carry.
-        h0 = ConvGRUCell.init_state(b, cfg.bottleneck_size,
-                                    cfg.bottleneck_size, cfg.gru_features, dt)
+        cell = ConvLSTMCell if cfg.rnn == "lstm" else ConvGRUCell
+        h0 = cell.init_state(b, cfg.bottleneck_size,
+                             cfg.bottleneck_size, cfg.gru_features, dt)
         skips0 = tuple(jnp.zeros(s, dt) for s in self.skip_shapes(b))
         # remat on the scan body trades recompute for O(1)-in-T activation
         # memory (SURVEY.md §5 long-context story).
@@ -180,6 +187,8 @@ class DMV3D(nn.Module):
             in_axes=1, out_axes=1,
         )(cfg, name="recurrent")
         (state, skips), _ = step((h0, skips0), image_seq)
+        if cfg.rnn == "lstm":
+            state = ConvLSTMCell.hidden(state, cfg.gru_features)
 
         # --- pose conditioning: relative code from last source view to each
         # target; fold K into batch for one big decoder pass.
@@ -224,9 +233,15 @@ class DMV3D(nn.Module):
             t_src = pose_ops.look_at_extrinsics(jnp.repeat(src_last, k, 0))
             t_tgt = pose_ops.look_at_extrinsics(tgt_poses.reshape(b * k, -1))
             rel = pose_ops.relative_transform(t_src, t_tgt)
-            geo_view, geo_valid = reproject_ops.depth_reproject_sample(
-                last_frame, depth, intr, rel, impl=impl,
-                precision=cfg.warp_precision)
+            if impl == "pallas":
+                # fused kernel: correspondence field computed in-kernel
+                from dynamic_multiview_3d_tpu.kernels import reproject_pallas
+                geo_view, geo_valid = reproject_pallas.depth_reproject_sample(
+                    last_frame, depth, intr, rel)
+            else:
+                geo_view, geo_valid = reproject_ops.depth_reproject_sample(
+                    last_frame, depth, intr, rel, impl=impl,
+                    precision=cfg.warp_precision)
             out["depth"] = depth.reshape(b, k, h, w)
             out["geo_view"] = geo_view.reshape(b, k, h, w, 3)
             out["geo_valid"] = geo_valid.reshape(b, k, h, w)

@@ -74,6 +74,41 @@ class ConvGRUCell(nn.Module):
         return jnp.zeros((batch, height, width, features), dtype)
 
 
+class ConvLSTMCell(nn.Module):
+    """Convolutional LSTM (the reference genre's other recurrent choice,
+    BASELINE.json:5 "ConvLSTM/GRU-style"). State is (h, c) packed along the
+    channel axis so both cells share one carry signature in the scan."""
+
+    features: int
+    kernel: int = 3
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, state: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+        h, c = jnp.split(state, 2, axis=-1)
+        k = (self.kernel, self.kernel)
+        gates = nn.Conv(4 * self.features, k, padding="SAME",
+                        dtype=self.dtype, name="gates")(
+            jnp.concatenate([h, x], axis=-1))
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        i = nn.sigmoid(i)
+        f = nn.sigmoid(f + 1.0)          # forget-gate bias init trick
+        g = jnp.tanh(g)
+        o = nn.sigmoid(o)
+        c = f * c + i * g
+        h = o * jnp.tanh(c)
+        return jnp.concatenate([h, c], axis=-1)
+
+    @staticmethod
+    def init_state(batch: int, height: int, width: int, features: int,
+                   dtype: Any = jnp.float32) -> jnp.ndarray:
+        return jnp.zeros((batch, height, width, 2 * features), dtype)
+
+    @staticmethod
+    def hidden(state: jnp.ndarray, features: int) -> jnp.ndarray:
+        return state[..., :features]
+
+
 def upsample2x(x: jnp.ndarray) -> jnp.ndarray:
     """Nearest-neighbor 2x upsample via reshape/broadcast.
 

@@ -124,3 +124,16 @@ def test_bf16_compute_path(rng):
     # params stay f32
     assert all(p.dtype == jnp.float32
                for p in jax.tree.leaves(variables["params"]))
+
+
+def test_convlstm_recurrence(rng):
+    cfg = _cfg(rnn="lstm")
+    model = DMV3D(cfg)
+    seq, src, tgt = _inputs(rng, b=1, t=3, k=2)
+    variables = jax.jit(model.init)(jax.random.key(0), seq, src, tgt)
+    fwd = jax.jit(model.apply)
+    out = fwd(variables, seq, src, tgt)
+    assert out["view"].shape == (1, 2, 64, 64, 3)
+    # early-frame perturbation must change the output (state carries info)
+    out_b = fwd(variables, seq.at[:, 0].set(-seq[:, 0]), src, tgt)
+    assert float(jnp.abs(out["view"] - out_b["view"]).max()) > 1e-6

@@ -130,3 +130,72 @@ def test_fast_precision_close_to_exact(rng):
         # bf16-relative: tolerance scales with the gradient's magnitude
         np.testing.assert_allclose(a, b, rtol=5e-2,
                                    atol=5e-3 * np.abs(b).max())
+
+
+def test_fused_depth_reproject_matches_reference(rng):
+    from dynamic_multiview_3d_tpu.kernels import reproject_pallas
+    from dynamic_multiview_3d_tpu.ops import pose as pose_ops
+    from dynamic_multiview_3d_tpu.ops import reproject as reproject_ops
+
+    h = w = 16
+    img = jnp.asarray(rng.standard_normal((2, h, w, 3), dtype=np.float32))
+    depth = jnp.asarray(rng.uniform(1.5, 2.5, (2, h, w)).astype(np.float32))
+    k = pose_ops.intrinsics_matrix(jnp.full((2,), 16.0), (w - 1) / 2,
+                                   (h - 1) / 2)
+    pa = jnp.asarray(rng.uniform(0.1, 1.0, (2, 3)).astype(np.float32)
+                     + [0, 0, 1.5])
+    pb_ = jnp.asarray(rng.uniform(0.1, 1.0, (2, 3)).astype(np.float32)
+                      + [0, 0, 1.5])
+    rel = pose_ops.relative_transform(pose_ops.look_at_extrinsics(pa),
+                                      pose_ops.look_at_extrinsics(pb_))
+
+    view_f, valid_f = reproject_pallas.depth_reproject_sample(
+        img, depth, k, rel, INTERP)
+    view_r, valid_r = reproject_ops.depth_reproject_sample(
+        img, depth, k, rel, padding_mode="zeros", impl="jnp")
+    np.testing.assert_allclose(np.asarray(valid_f), np.asarray(valid_r),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(view_f), np.asarray(view_r),
+                               rtol=1e-4, atol=1e-4)
+
+    # gradients (image + depth) flow and match the reference composition
+    def loss(fn):
+        def f(i, d):
+            out, _ = fn(i, d)
+            return jnp.sum(out ** 2)
+        return jax.grad(f, argnums=(0, 1))
+
+    g_f = loss(lambda i, d: reproject_pallas.depth_reproject_sample(
+        i, d, k, rel, INTERP))(img, depth)
+    g_r = loss(lambda i, d: reproject_ops.depth_reproject_sample(
+        i, d, k, rel, padding_mode="zeros", impl="jnp"))(img, depth)
+    for a, b in zip(g_f, g_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.tpu
+def test_fused_depth_reproject_compiled_on_tpu(rng):
+    from dynamic_multiview_3d_tpu.kernels import reproject_pallas
+    from dynamic_multiview_3d_tpu.ops import pose as pose_ops
+    from dynamic_multiview_3d_tpu.ops import reproject as reproject_ops
+
+    h = w = 64
+    img = jnp.asarray(rng.standard_normal((2, h, w, 3), dtype=np.float32))
+    depth = jnp.asarray(rng.uniform(1.5, 2.5, (2, h, w)).astype(np.float32))
+    k = pose_ops.intrinsics_matrix(jnp.full((2,), 64.0), (w - 1) / 2,
+                                   (h - 1) / 2)
+    pa = jnp.asarray(rng.uniform(0.1, 1.0, (2, 3)).astype(np.float32)
+                     + [0, 0, 1.5])
+    pb_ = jnp.asarray(rng.uniform(0.1, 1.0, (2, 3)).astype(np.float32)
+                      + [0, 0, 1.5])
+    rel = pose_ops.relative_transform(pose_ops.look_at_extrinsics(pa),
+                                      pose_ops.look_at_extrinsics(pb_))
+    view_f, valid_f = reproject_pallas.depth_reproject_sample(
+        img, depth, k, rel, False)
+    view_r, valid_r = reproject_ops.depth_reproject_sample(
+        img, depth, k, rel, padding_mode="zeros", impl="jnp")
+    np.testing.assert_allclose(np.asarray(valid_f), np.asarray(valid_r),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(view_f), np.asarray(view_r),
+                               rtol=1e-3, atol=1e-3)
