@@ -19,8 +19,8 @@ def main(argv=None) -> None:
     p.add_argument("--image-size", type=int, default=128)
     p.add_argument("--views", type=int, default=12)
     p.add_argument("--seq-len", type=int, default=4)
-    p.add_argument("--dynamic", action="store_true", default=True)
-    p.add_argument("--static", dest="dynamic", action="store_false")
+    p.add_argument("--dynamic", action=argparse.BooleanOptionalAction,
+                   default=True, help="objects move over the sequence")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 

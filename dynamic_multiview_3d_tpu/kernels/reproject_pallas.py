@@ -14,9 +14,16 @@ so the correspondence field is never materialized in HBM. Invalid pixels
 (behind the source camera) sample at a far-out coordinate -> zeros padding
 returns 0, matching ops.reproject.depth_reproject_sample's `out * valid`.
 
-VJP: gradients flow to the image and the depth (the trainable quantities) by
-differentiating the jnp reference composition — the fused kernel is a
-forward-speed optimization, and the reference path is oracle-verified.
+VJP: the backward reuses the flow-warp kernel's Pallas backward
+(grid_sample_pallas._call_bwd) for d_image and the pixel-coordinate
+cotangents, then chain-rules those to the depth analytically:
+
+    a  = M @ [u, v, 1]                    # d q / d depth
+    d ix / dd = (a.x q.z - q.x a.z) / q.z^2   (same for iy)
+
+Camera parameters (K, T) receive zero cotangents — they are fixed inputs in
+this model family, never trained. Gradients are tested against the jnp
+reference composition.
 """
 
 from __future__ import annotations
@@ -115,6 +122,34 @@ def _reference(img_nhwc, depth, intrinsics, t_tgt2src):
     return out, valid
 
 
+def _coords_and_ddepth(depth_flat, params, h, w):
+    """Replicates the kernel's coordinate math in XLA (elementwise, fuses
+    into the backward) and returns (ix, iy, valid, dix/dd, diy/dd)."""
+    n = depth_flat.shape[0]
+    idx = jnp.arange(h * w, dtype=jnp.int32)[None, :]
+    u = (idx % w).astype(jnp.float32)
+    v = (idx // w).astype(jnp.float32)
+    m = params[:, :9]
+    t = params[:, 9:]
+
+    def row(i):
+        return (m[:, 3 * i, None] * u + m[:, 3 * i + 1, None] * v
+                + m[:, 3 * i + 2, None])
+
+    ax, ay, az = row(0), row(1), row(2)                   # dq/dd, [N, P]
+    qx = depth_flat * ax + t[:, 0, None]
+    qy = depth_flat * ay + t[:, 1, None]
+    qz = depth_flat * az + t[:, 2, None]
+    valid = qz > _EPS
+    qz_s = jnp.where(valid, qz, 1.0)
+    ix = jnp.where(valid, qx / qz_s, _FAR)
+    iy = jnp.where(valid, qy / qz_s, _FAR)
+    inv_qz2 = 1.0 / (qz_s * qz_s)
+    dix_dd = jnp.where(valid, (ax * qz - qx * az) * inv_qz2, 0.0)
+    diy_dd = jnp.where(valid, (ay * qz - qy * az) * inv_qz2, 0.0)
+    return ix, iy, valid.astype(jnp.float32), dix_dd, diy_dd
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def depth_reproject_sample(img_nhwc, depth, intrinsics, t_tgt2src,
                            interpret=False):
@@ -142,13 +177,30 @@ def _fwd(img, depth, intrinsics, t_tgt2src, interpret):
 
 def _bwd(interpret, res, cotangents):
     img, depth, intrinsics, t = res
-    d_view, d_valid = cotangents
-    # Differentiate the (oracle-verified) reference composition; `valid` is a
-    # step function -> zero gradient, matching the reference path.
-    _, vjp = jax.vjp(
-        lambda i, d, k, tt: _reference(i, d, k, tt)[0], img, depth,
-        intrinsics, t)
-    return vjp(d_view)
+    d_view, _ = cotangents                 # `valid` is a step fn: zero grad
+    n, h, w, c = img.shape
+    if not gsp.kernel_supported(c):
+        _, vjp = jax.vjp(
+            lambda i, d: _reference(i, d, intrinsics, t)[0], img, depth)
+        dimg, ddepth = vjp(d_view)
+        return dimg, ddepth, jnp.zeros_like(intrinsics), jnp.zeros_like(t)
+
+    params = _host_params(intrinsics.astype(jnp.float32),
+                          t.astype(jnp.float32))
+    depth_flat = depth.reshape(n, h * w).astype(jnp.float32)
+    ix, iy, valid, dix_dd, diy_dd = _coords_and_ddepth(depth_flat, params,
+                                                       h, w)
+    # view = sample * valid, so the sampling cotangent carries the mask.
+    dout = jnp.transpose(
+        d_view.astype(jnp.float32)
+        * valid.reshape(n, h, w)[..., None], (0, 3, 1, 2)).reshape(n, c, -1)
+    img_nchw = jnp.transpose(img.astype(jnp.float32), (0, 3, 1, 2))
+    dimg_nchw, dix, diy = gsp._call_bwd(img_nchw, ix, iy, dout, "zeros",
+                                        interpret, "exact")
+    dimg = jnp.transpose(dimg_nchw, (0, 2, 3, 1)).astype(img.dtype)
+    ddepth = (dix * dix_dd + diy * diy_dd).reshape(depth.shape) \
+        .astype(depth.dtype)
+    return dimg, ddepth, jnp.zeros_like(intrinsics), jnp.zeros_like(t)
 
 
 depth_reproject_sample.defvjp(_fwd, _bwd)
