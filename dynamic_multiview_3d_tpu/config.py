@@ -76,6 +76,8 @@ class TrainConfig:
     l1_weight: float = 1.0
     mask_weight: float = 0.1         # BCE(mask, warp-validity) weight
     smooth_weight: float = 0.0       # optional flow smoothness
+    geo_weight: float = 0.5          # masked L1 on the depth-reprojection
+                                     # view (only when predict_depth)
     num_steps: int = 100_000
     log_every: int = 100
     ckpt_every: int = 1000

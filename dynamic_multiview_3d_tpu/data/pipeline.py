@@ -80,17 +80,23 @@ def make_grain_iterator(cfg: DataConfig, *, process_index: int | None = None,
     source = make_source(cfg)
 
     raw = cfg.device_preprocess
+    # probe the raw-path support once — never mask TypeErrors from example()
+    import inspect
+    has_raw = "raw" in inspect.signature(source.example).parameters
+    # one nominal epoch = one pass over the scene bank; frames datasets know
+    # their true on-disk scene count
+    num_records = max(len(getattr(source, "scenes", ())),
+                      getattr(source, "num_scenes", 0),
+                      cfg.batch_size)
 
     class _Source(grain.RandomAccessDataSource):
         def __len__(self):
-            # one nominal epoch = one pass over the scene bank
-            return max(cfg.num_scenes, cfg.batch_size)
+            return num_records
 
         def __getitem__(self, idx):
-            try:
+            if has_raw:
                 return source.example(int(idx), raw=raw)
-            except TypeError:
-                return source.example(int(idx))
+            return source.example(int(idx))
 
         def __repr__(self):
             # stable across processes: grain validates repr(data_source)

@@ -44,8 +44,13 @@ def train(cfg: config_lib.Config, *, writer: metrics_lib.MetricsWriter | None
 
     profile_dir: when set, steps [profile_steps) are captured with
     jax.profiler.trace for xprof/tensorboard (SURVEY.md §5 tracing)."""
-    if cfg.mesh.multihost and jax.process_count() == 1:
-        jax.distributed.initialize()
+    if cfg.mesh.multihost:
+        # Must run before anything initializes the XLA backends (even
+        # jax.process_count() would); tolerate launchers that already did it.
+        try:
+            jax.distributed.initialize()
+        except RuntimeError:
+            pass
 
     mesh = mesh_lib.make_mesh(cfg.mesh)
     n_data = mesh.shape["data"]
@@ -79,13 +84,20 @@ def train(cfg: config_lib.Config, *, writer: metrics_lib.MetricsWriter | None
 
     state = jax.device_put(state, mesh_lib.replicate(mesh))
     step_fn = step_lib.make_train_step(cfg, mesh=mesh, mode=parallel_mode)
+    render_fn = None          # jitted once, reused for every image summary
+    preview_batch = None      # first host batch, kept for summaries (never
+                              # consumes extra items from a streaming iterator)
 
     last_metrics: dict = {}
     t_last = time.perf_counter()
     for step in range(start_step, cfg.train.num_steps):
         if profile_dir and step == profile_steps[0]:
             jax.profiler.start_trace(profile_dir)
-        batch = mesh_lib.shard_batch(mesh, batch_for_step(step))
+        host_batch = batch_for_step(step)
+        if preview_batch is None:
+            preview_batch = {k: np.asarray(v[:2]) for k, v in
+                             host_batch.items()}
+        batch = mesh_lib.shard_batch(mesh, host_batch)
         state, metrics = step_fn(state, batch)
         if profile_dir and step + 1 == profile_steps[1]:
             jax.block_until_ready(metrics)
@@ -95,11 +107,16 @@ def train(cfg: config_lib.Config, *, writer: metrics_lib.MetricsWriter | None
             # flush a checkpoint exactly as a healthy run would have, then die
             mgr.save(step + 1, args=ocp.args.StandardSave(state), force=True)
             mgr.wait_until_finished()
+            if grain_iter is not None:
+                _save_grain_state(cfg.train.ckpt_dir, step + 1, grain_iter)
             raise FaultInjected(f"injected failure after step {step}")
 
         if (writer is not None and writer.has_images
                 and (step + 1) % cfg.train.ckpt_every == 0):
-            _write_image_summaries(cfg, writer, state, batch_for_step(0),
+            if render_fn is None:
+                from dynamic_multiview_3d_tpu.models import DMV3D
+                render_fn = jax.jit(DMV3D(cfg.model).apply)
+            _write_image_summaries(render_fn, writer, state, preview_batch,
                                    step + 1)
 
         if (step + 1) % cfg.train.log_every == 0 or step == start_step:
@@ -151,15 +168,14 @@ def _restore_grain_state(ckpt_dir: str, step: int, grain_iter) -> None:
             grain_iter.set_state(f.read())
 
 
-def _write_image_summaries(cfg, writer, state, batch, step, n: int = 2):
+def _write_image_summaries(render_fn, writer, state, batch, step):
     """Pred-vs-target grids to tensorboard (SURVEY.md R18)."""
     from dynamic_multiview_3d_tpu.data import pipeline as pipeline_lib
     from dynamic_multiview_3d_tpu.data.synthetic import to_uint8
-    from dynamic_multiview_3d_tpu.models import DMV3D
 
-    small = {k: jax.device_put(v[:n]) for k, v in batch.items()}
+    small = {k: jax.device_put(v) for k, v in batch.items()}
     small = pipeline_lib.preprocess(small)
-    view = jax.jit(DMV3D(cfg.model).apply)(
+    view = render_fn(
         {"params": state.params}, small["image_seq"], small["src_poses"],
         small["tgt_poses"])["view"]
     pred = np.asarray(view)[:, 0]
@@ -173,14 +189,15 @@ def _make_batch_fn(cfg: config_lib.Config, data_source):
 
     With device_preprocess, images stay uint8 on the host and are
     normalized inside the jitted step (data.pipeline.preprocess)."""
+    import inspect
     bsz = cfg.data.batch_size
     raw = cfg.data.device_preprocess
+    has_raw = "raw" in inspect.signature(data_source.batch).parameters
 
     def batch_for_step(step: int) -> dict:
         idx = range(step * bsz, (step + 1) * bsz)
-        try:
+        if has_raw:
             return data_source.batch(idx, raw=raw)
-        except TypeError:  # custom sources without a raw path
-            return data_source.batch(idx)
+        return data_source.batch(idx)  # custom sources without a raw path
 
     return batch_for_step

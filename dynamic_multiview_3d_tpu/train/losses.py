@@ -51,9 +51,13 @@ def total_loss(out: dict, batch: dict, cfg: TrainConfig
         loss = loss + cfg.smooth_weight * ls
         metrics["loss/smooth"] = ls
     if "depth" in out:
-        # keep predicted geometry photometrically useful when the head exists
-        geo_l1 = l1_loss(out["geo_view"],
-                         target * out["geo_valid"][..., None])
+        # supervise the depth head photometrically wherever the reprojection
+        # is valid (masked L1 — invalid pixels are ignored, not pulled to 0)
+        valid = out["geo_valid"][..., None].astype(jnp.float32)
+        resid = jnp.abs(out["geo_view"].astype(jnp.float32)
+                        - target.astype(jnp.float32)) * valid
+        geo_l1 = jnp.sum(resid) / jnp.maximum(jnp.sum(valid) * 3.0, 1.0)
+        loss = loss + cfg.geo_weight * geo_l1
         metrics["loss/geo_l1"] = geo_l1
     metrics["loss/total"] = loss
     return loss, metrics

@@ -212,3 +212,19 @@ def test_streaming_grain_training_with_state_checkpoint(tmp_path):
     ])
     state2, _ = loop_lib.train(cfg2)
     assert int(np.asarray(state2.step)) == 4
+
+
+def test_depth_head_receives_gradient(tmp_path):
+    """geo_weight supervises the depth head (review fix: it trained on zero
+    gradient before)."""
+    cfg = tiny_cfg(tmp_path, overrides=["model.predict_depth=true"])
+    src = SyntheticScenes(num_scenes=1, image_size=32)
+    batch = jax.device_put(src.batch(range(2)))
+    state = step_lib.init_state(cfg)
+    before = np.asarray(
+        state.params["decoder"]["depth_head"]["kernel"]).copy()
+    step_fn = step_lib.make_train_step(cfg)
+    state, m = step_fn(state, batch)
+    after = np.asarray(state.params["decoder"]["depth_head"]["kernel"])
+    assert "loss/geo_l1" in m
+    assert np.abs(after - before).max() > 0, "depth head got zero gradient"
