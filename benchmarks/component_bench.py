@@ -1,0 +1,164 @@
+"""Per-component timing of the c2 forward on the real chip.
+
+Times each model stage separately (encoder / pose bottleneck / decoder /
+heads / warp / composite) with the relay-proof loop-differencing method
+(docs/ARCHITECTURE.md §7: block_until_ready is a no-op through the axon
+relay, so run N iterations inside one jitted fori_loop with a
+data-dependent carry and difference N-vs-1 walls).
+
+Also prints XLA cost-analysis FLOPs per component -> per-component MFU.
+Drives the round-2 profile-guided optimization (VERDICT.md next-round #1).
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from dynamic_multiview_3d_tpu import config as config_lib
+from dynamic_multiview_3d_tpu.models import DMV3D
+
+PEAK_FLOPS = 197e12  # v5e bf16 peak (per chip)
+
+
+def loop_time(fn, args, iters=20, reps=3):
+    """Seconds per call via (t_N - t_1) / (N - 1); fn(*args, eps)->scalar."""
+    def make(n):
+        @jax.jit
+        def looped(*a):
+            def body(_, acc):
+                return fn(*a, acc * 1e-9)
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+        return looped
+
+    f1, fn_ = make(1), make(iters)
+    float(f1(*args))
+    float(fn_(*args))
+
+    def timed(f):
+        t0 = time.perf_counter()
+        float(f(*args))
+        return time.perf_counter() - t0
+
+    t1 = min(timed(f1) for _ in range(reps))
+    tn = min(timed(fn_) for _ in range(reps))
+    return max(tn - t1, 1e-9) / (iters - 1)
+
+
+def flops_of(fn, args):
+    try:
+        a = jax.jit(fn).lower(*args, 0.0).compile().cost_analysis()
+        if isinstance(a, list):
+            a = a[0]
+        return float(a.get("flops", 0.0))
+    except Exception:
+        return float("nan")
+
+
+def main():
+    cfg = config_lib.get_config("c2")
+    m = cfg.model
+    b, k, t = cfg.data.batch_size, cfg.data.num_targets, cfg.data.seq_len
+    size = m.image_size
+    dt = jnp.dtype(m.dtype)
+
+    rng = np.random.default_rng(0)
+    seq = jnp.asarray(rng.uniform(-1, 1, (b, t, size, size, 3)).astype(np.float32))
+    src = jnp.asarray(rng.uniform(0, 1, (b, t, 3)).astype(np.float32) + [0, 0, 1])
+    tgt = jnp.asarray(rng.uniform(0, 1, (b, k, 3)).astype(np.float32) + [0, 0, 1])
+
+    module = DMV3D(m)
+    params = jax.jit(module.init)(jax.random.key(0), seq, src, tgt)["params"]
+
+    from dynamic_multiview_3d_tpu.models.dmv3d import (
+        Decoder, Encoder, PoseBottleneck)
+    from dynamic_multiview_3d_tpu.ops import pose as pose_ops
+    from dynamic_multiview_3d_tpu.ops import sampling
+
+    enc = Encoder(m)
+    bott = PoseBottleneck(m)
+    dec = Decoder(m)
+
+    bk = b * k
+    # representative intermediates (shapes as in DMV3D.__call__)
+    bott_in = jnp.zeros((bk, m.bottleneck_size, m.bottleneck_size,
+                         m.gru_features), dt)
+    pose_code = pose_ops.encode_pose(
+        jnp.repeat(src[:, -1], k, axis=0), tgt.reshape(bk, -1),
+        mode=m.pose_mode)
+    z = jnp.zeros_like(bott_in)
+    skip_shapes = module.skip_shapes(bk)
+    skips = tuple(jnp.zeros(s, dt) for s in skip_shapes)
+    frame = jnp.zeros((b, size, size, 3), jnp.float32)
+    frame_k = jnp.zeros((bk, size, size, 3), jnp.float32)
+    flow = jnp.asarray(rng.uniform(-20, 20, (bk, size, size, 2))
+                       .astype(np.float32))
+    mask = jnp.ones((bk, size, size, 1), jnp.float32)
+    rgbh = jnp.zeros((bk, size, size, 3), jnp.float32)
+
+    impl = "pallas" if jax.default_backend() == "tpu" else "jnp"
+
+    cases = {
+        "full_forward": (
+            lambda p, s, sr, tg, e: jnp.mean(module.apply(
+                {"params": p}, s + e, sr, tg)["view"]),
+            (params, seq, src, tgt)),
+        "encoder_B": (
+            lambda p, f, e: jnp.mean(enc.apply(
+                {"params": p}, f + e)[0].astype(jnp.float32)),
+            (params["recurrent"]["encoder"], frame)),
+        "bottleneck_BK": (
+            lambda p, x, pc, e: jnp.mean(bott.apply(
+                {"params": p}, x + jnp.asarray(e, dt), pc)
+                .astype(jnp.float32)),
+            (params["bottleneck"], bott_in, pose_code)),
+        "decoder+heads_BK": (
+            lambda p, x, sk, e: jnp.mean(dec.apply(
+                {"params": p}, x + jnp.asarray(e, dt), sk)["flow"]),
+            (params["decoder"], z, skips)),
+        "warp_BK": (
+            lambda img, fl, e: jnp.mean(sampling.flow_warp(
+                img, fl + e, padding_mode="border", impl=impl,
+                precision=m.warp_precision)),
+            (frame_k, flow)),
+        "composite_BK": (
+            lambda w_, mk, rh, e: jnp.mean(mk * (w_ + e) + (1 - mk) * rh),
+            (frame_k, mask, rgbh)),
+        "tile_k_skips": (
+            lambda sk, e: jnp.mean(jnp.concatenate(
+                [jnp.repeat(s + jnp.asarray(e, dt), k, axis=0).reshape(-1)
+                 for s in sk]).astype(jnp.float32)),
+            (tuple(jnp.zeros((b,) + s[1:], dt) for s in skip_shapes),)),
+    }
+
+    results = {}
+    for name, (fn, args) in cases.items():
+        dt_s = loop_time(fn, args)
+        fl = flops_of(fn, args)
+        results[name] = {
+            "ms": round(dt_s * 1e3, 3),
+            "gflops": round(fl / 1e9, 2) if np.isfinite(fl) else None,
+            "mfu_pct": round(100 * fl / dt_s / PEAK_FLOPS, 1)
+            if np.isfinite(fl) else None,
+        }
+        print(json.dumps({name: results[name]}), flush=True)
+
+    full = results["full_forward"]["ms"]
+    acct = sum(results[n]["ms"] for n in
+               ("encoder_B", "bottleneck_BK", "decoder+heads_BK", "warp_BK",
+                "composite_BK", "tile_k_skips"))
+    print(json.dumps({"accounted_ms": round(acct, 3), "full_ms": full,
+                      "views_per_s": round(bk / (full / 1e3), 1)}))
+
+
+if __name__ == "__main__":
+    main()

@@ -27,6 +27,11 @@ void dmv3d_resize_normalize_pack(const uint8_t* src, int n, int h_in,
   const float sy = static_cast<float>(h_in) / h_out;
   const float sx = static_cast<float>(w_in) / w_out;
   const bool identity = (h_in == h_out && w_in == w_out);
+  // Degenerate 1-pixel-tall/wide inputs: the bilinear clamp below (y0 <=
+  // h_in-2) would go negative and read out of bounds; zero the fractional
+  // step instead (nearest along that axis).
+  const int y_step = (h_in >= 2) ? 1 : 0;
+  const int x_step = (w_in >= 2) ? 1 : 0;
 
 #pragma omp parallel for schedule(static)
   for (int i = 0; i < n; ++i) {
@@ -43,18 +48,18 @@ void dmv3d_resize_normalize_pack(const uint8_t* src, int n, int h_in,
       float fy = (y + 0.5f) * sy - 0.5f;
       if (fy < 0) fy = 0;
       int y0 = static_cast<int>(fy);
-      if (y0 > h_in - 2) y0 = h_in - 2;
-      const float wy = fy - y0;
+      if (y0 > h_in - 1 - y_step) y0 = h_in - 1 - y_step;
+      const float wy = y_step ? fy - y0 : 0.0f;
       for (int x = 0; x < w_out; ++x) {
         float fx = (x + 0.5f) * sx - 0.5f;
         if (fx < 0) fx = 0;
         int x0 = static_cast<int>(fx);
-        if (x0 > w_in - 2) x0 = w_in - 2;
-        const float wx = fx - x0;
+        if (x0 > w_in - 1 - x_step) x0 = w_in - 1 - x_step;
+        const float wx = x_step ? fx - x0 : 0.0f;
         const uint8_t* p00 = img + ((int64_t)y0 * w_in + x0) * c;
-        const uint8_t* p01 = p00 + c;
-        const uint8_t* p10 = p00 + (int64_t)w_in * c;
-        const uint8_t* p11 = p10 + c;
+        const uint8_t* p01 = p00 + x_step * c;
+        const uint8_t* p10 = p00 + (int64_t)y_step * w_in * c;
+        const uint8_t* p11 = p10 + x_step * c;
         float* o = out + ((int64_t)y * w_out + x) * c;
         for (int ch = 0; ch < c; ++ch) {
           const float top = p00[ch] + (p01[ch] - p00[ch]) * wx;

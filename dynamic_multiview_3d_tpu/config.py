@@ -83,7 +83,6 @@ class TrainConfig:
     ckpt_every: int = 1000
     ckpt_dir: str = "/tmp/dmv3d_ckpt"
     max_to_keep: int = 3
-    remat: bool = False              # jax.checkpoint on the scan body (long T)
     fail_after_step: int = -1        # fault injection for resume tests (-1 = off)
     seed: int = 0
 
@@ -127,12 +126,19 @@ def to_dict(cfg: Config) -> dict:
     return dataclasses.asdict(cfg)
 
 
+def _known(cls, d: dict) -> dict:
+    """Drop keys a newer/older config schema doesn't have (checkpoints carry
+    their config as JSON — stay loadable across schema changes)."""
+    fields = {f.name for f in dataclasses.fields(cls)}
+    return {k: v for k, v in d.items() if k in fields}
+
+
 def from_dict(d: dict) -> Config:
     return Config(
-        model=ModelConfig(**d["model"]),
-        data=DataConfig(**d["data"]),
-        train=TrainConfig(**d["train"]),
-        mesh=MeshConfig(**d["mesh"]),
+        model=ModelConfig(**_known(ModelConfig, d["model"])),
+        data=DataConfig(**_known(DataConfig, d["data"])),
+        train=TrainConfig(**_known(TrainConfig, d["train"])),
+        mesh=MeshConfig(**_known(MeshConfig, d["mesh"])),
         name=d.get("name", "default"),
     )
 
@@ -172,10 +178,9 @@ def config3_dynamic_scan() -> Config:
     """BASELINE.json:9 — dynamic: 8-frame sequence -> 4 views, scan, batch=8."""
     return Config(
         name="c3_dynamic",
-        model=ModelConfig(image_size=128, num_levels=5),
+        model=ModelConfig(image_size=128, num_levels=5, remat_scan=True),
         data=DataConfig(image_size=128, seq_len=8, num_targets=4, batch_size=8,
                         dynamic=True),
-        train=TrainConfig(remat=True),
     )
 
 
@@ -193,10 +198,9 @@ def config5_multihost_256() -> Config:
     """BASELINE.json:11 — multi-host v5e-32, streamed video decode, 256² training."""
     return Config(
         name="c5_multihost256",
-        model=ModelConfig(image_size=256, num_levels=6),
+        model=ModelConfig(image_size=256, num_levels=6, remat_scan=True),
         data=DataConfig(image_size=256, seq_len=4, num_targets=2, batch_size=128,
                         dynamic=True, source="frames"),
-        train=TrainConfig(remat=True),
         mesh=MeshConfig(data=32, multihost=True),
     )
 

@@ -19,7 +19,7 @@ from dynamic_multiview_3d_tpu.data.synthetic import SyntheticScenes
 
 
 def preprocess(batch: dict, *, key: jax.Array | None = None,
-               targets_per_step: int = 0) -> dict:
+               targets_per_step: int = 0, index_offset=0) -> dict:
     """On-device, in-step preprocessing (BASELINE.json:5: "fused jax/XLA
     preprocessing ... instead of feed_dict CPU loops").
 
@@ -29,7 +29,9 @@ def preprocess(batch: dict, *, key: jax.Array | None = None,
       uint8: 4x less transfer than float32)
     - optional on-device view-pair sampling: pick ``targets_per_step`` of
       the provided K target views per example, keyed by
-      fold_in(data seed, step) — deterministic and resume-stable.
+      fold_in(data seed, step) then per-example index. ``index_offset`` is
+      the GLOBAL index of this shard's first example, so data-parallel
+      shards draw independent subsets (and shard_map == auto numerics).
     """
     out = dict(batch)
     for name in ("image_seq", "tgt_images"):
@@ -38,7 +40,8 @@ def preprocess(batch: dict, *, key: jax.Array | None = None,
     k_avail = out["tgt_poses"].shape[1]
     if targets_per_step and key is not None and k_avail > targets_per_step:
         b = out["tgt_poses"].shape[0]
-        keys = jax.vmap(jax.random.fold_in, (None, 0))(key, jnp.arange(b))
+        keys = jax.vmap(jax.random.fold_in, (None, 0))(
+            key, index_offset + jnp.arange(b))
         idx = jax.vmap(
             lambda kk: jax.random.permutation(kk, k_avail)[:targets_per_step]
         )(keys)                                             # [B, K']

@@ -44,6 +44,12 @@ from jax.experimental.pallas import tpu as pltpu
 # comfortably; the jnp gather path is used instead (ops/sampling.py).
 MAX_KERNEL_CHANNELS = 16
 
+# Outputs whose pixel count is not a multiple of 128 run as ONE kernel block
+# (_plan falls through to `total`); above this count the single block's
+# one-hot weight matrices ([H|W, total] f32) would blow VMEM, so those
+# shapes route to the jnp path instead (kernel_supported).
+MAX_SINGLE_BLOCK_PIXELS = 2048
+
 
 def _pixel_block(total: int, target: int = 2048) -> int:
     """Largest divisor of ``total`` that is <= target (block of output pixels)."""
@@ -324,8 +330,19 @@ def _sample_bwd(padding_mode, interpret, precision, res, dout):
 sample_pixel_coords.defvjp(_sample_fwd, _sample_bwd)
 
 
-def kernel_supported(channels: int) -> bool:
-    return channels <= MAX_KERNEL_CHANNELS
+def kernel_supported(channels: int, total_pixels: int | None = None) -> bool:
+    """Whether the Pallas kernel handles this shape (else: jnp fallback).
+
+    channels bounds the per-grid-step image VMEM tile; non-128-multiple
+    pixel counts are only safe as a single block up to
+    MAX_SINGLE_BLOCK_PIXELS (see _plan).
+    """
+    if channels > MAX_KERNEL_CHANNELS:
+        return False
+    if (total_pixels is not None and total_pixels % 128 != 0
+            and total_pixels > MAX_SINGLE_BLOCK_PIXELS):
+        return False
+    return True
 
 
 # ---------------------------------------------------------------------------
@@ -337,10 +354,10 @@ def grid_sample(image, grid, *, align_corners=True, padding_mode="zeros",
     """NHWC/normalized-grid API, Pallas path. See ops.sampling.grid_sample."""
     from dynamic_multiview_3d_tpu.ops import sampling
     n, h, w, c = image.shape
-    if not kernel_supported(c):
+    ho, wo = grid.shape[1:3]
+    if not kernel_supported(c, ho * wo):
         return sampling._grid_sample_jnp(image, grid, align_corners,
                                          padding_mode)
-    ho, wo = grid.shape[1:3]
     ix, iy = sampling.unnormalize_coords(grid.astype(jnp.float32), h, w,
                                          align_corners)
     img_nchw = jnp.transpose(image, (0, 3, 1, 2))
@@ -357,7 +374,7 @@ def flow_warp(image, flow, *, padding_mode="border", interpret=False,
     pixel coords = base grid + flow feed the kernel directly."""
     from dynamic_multiview_3d_tpu.ops import sampling
     n, h, w, c = image.shape
-    if not kernel_supported(c):
+    if not kernel_supported(c, h * w):
         return sampling.flow_warp(image, flow, padding_mode=padding_mode,
                                   impl="jnp")
     coords = sampling.base_grid(h, w, jnp.float32)[None] \

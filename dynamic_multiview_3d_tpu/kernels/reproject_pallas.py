@@ -158,7 +158,7 @@ def depth_reproject_sample(img_nhwc, depth, intrinsics, t_tgt2src,
     Same semantics as ops.reproject.depth_reproject_sample (zeros padding).
     """
     n, h, w, c = img_nhwc.shape
-    if not gsp.kernel_supported(c):
+    if not gsp.kernel_supported(c, h * w):
         return _reference(img_nhwc, depth, intrinsics, t_tgt2src)
     params = _host_params(intrinsics.astype(jnp.float32),
                           t_tgt2src.astype(jnp.float32))
@@ -179,7 +179,7 @@ def _bwd(interpret, res, cotangents):
     img, depth, intrinsics, t = res
     d_view, _ = cotangents                 # `valid` is a step fn: zero grad
     n, h, w, c = img.shape
-    if not gsp.kernel_supported(c):
+    if not gsp.kernel_supported(c, h * w):
         _, vjp = jax.vjp(
             lambda i, d: _reference(i, d, intrinsics, t)[0], img, depth)
         dimg, ddepth = vjp(d_view)

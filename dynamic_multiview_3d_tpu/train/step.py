@@ -57,10 +57,11 @@ def init_state(cfg: Config, seed: int | None = None) -> TrainState:
                              tx=make_optimizer(cfg))
 
 
-def _loss_and_metrics(apply_fn: Callable, params, batch, tcfg):
+def _loss_and_metrics(apply_fn: Callable, params, batch, tcfg,
+                      synthesis: str = "flow"):
     out = apply_fn({"params": params}, batch["image_seq"],
                    batch["src_poses"], batch["tgt_poses"])
-    return losses_lib.total_loss(out, batch, tcfg)
+    return losses_lib.total_loss(out, batch, tcfg, synthesis=synthesis)
 
 
 def make_train_step(cfg: Config, mesh=None, mode: str = "shard_map",
@@ -73,17 +74,29 @@ def make_train_step(cfg: Config, mesh=None, mode: str = "shard_map",
     from dynamic_multiview_3d_tpu.data import pipeline as pipeline_lib
 
     tcfg = cfg.train
+    synthesis = cfg.model.synthesis
     k_sample = cfg.data.targets_per_step
     data_seed = cfg.data.seed
     apply_fn = apply_fn or DMV3D(cfg.model).apply
 
     def _step(state: TrainState, batch: dict, pmean_axis: str | None):
         key = jax.random.fold_in(jax.random.key(data_seed), state.step)
+        # Subsampling keys are folded over the GLOBAL example index so every
+        # shard draws independent target subsets and 'shard_map' == 'auto'
+        # numerically: shard i holds the contiguous slice starting at
+        # i * local_batch of the P('data')-sharded batch.
+        if pmean_axis is not None:
+            offset = (jax.lax.axis_index(pmean_axis)
+                      * batch["tgt_poses"].shape[0])
+        else:
+            offset = 0
         batch = pipeline_lib.preprocess(batch, key=key,
-                                        targets_per_step=k_sample)
+                                        targets_per_step=k_sample,
+                                        index_offset=offset)
 
         def loss_fn(params):
-            return _loss_and_metrics(apply_fn, params, batch, tcfg)
+            return _loss_and_metrics(apply_fn, params, batch, tcfg,
+                                     synthesis=synthesis)
 
         (_, metrics), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)

@@ -48,6 +48,8 @@ def rng():
 def pytest_configure(config):
     config.addinivalue_line(
         "markers", "tpu: requires real TPU hardware (DMV3D_TEST_TPU=1)")
+    config.addinivalue_line(
+        "markers", "slow: integration-weight test (deselect with -m 'not slow')")
 
 
 def pytest_collection_modifyitems(config, items):

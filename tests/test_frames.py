@@ -64,3 +64,19 @@ def test_native_gather(rng):
     out = native.gather_pack(store, np.array([5, 0, 2]))
     np.testing.assert_allclose(
         out, store[[5, 0, 2]].astype(np.float32) / 127.5 - 1.0, atol=1e-6)
+
+
+def test_native_degenerate_one_pixel_input(rng):
+    """1-pixel-tall/wide inputs must not read out of bounds (round-1 review:
+    the bilinear clamp went to -1); nearest/copy semantics instead."""
+    img = np.full((1, 1, 1, 3), 200, np.uint8)
+    out = native.resize_normalize_pack(img, 4, 4)
+    np.testing.assert_allclose(out, 200 / 127.5 - 1.0, atol=1e-6)
+    row = rng.integers(0, 256, (1, 1, 7, 3)).astype(np.uint8)
+    out_row = native.resize_normalize_pack(row, 3, 7)
+    assert out_row.shape == (1, 3, 7, 3)
+    assert np.isfinite(out_row).all()
+    # every output row equals the (normalized) input row
+    ref = row[0, 0].astype(np.float32) / 127.5 - 1.0
+    for y in range(3):
+        np.testing.assert_allclose(out_row[0, y], ref, atol=1e-6)

@@ -116,3 +116,24 @@ def test_in_bounds_mask():
     assert mask[0, 0, 0] == 0.0
     assert mask[0, 3, 3] == 0.0
     assert mask[0, 1, 1] == 1.0
+
+
+def test_odd_size_routes_to_jnp_not_single_block(rng):
+    """Non-128-multiple pixel counts above MAX_SINGLE_BLOCK_PIXELS must fall
+    back to the jnp path instead of compiling the whole output as ONE Pallas
+    block (VMEM hazard — round-1 review). 130*98=12740 is such a shape."""
+    from dynamic_multiview_3d_tpu.kernels import grid_sample_pallas as gsp
+
+    assert not gsp.kernel_supported(3, 130 * 98)
+    assert gsp.kernel_supported(3, 128 * 128)       # 128-multiple: fine
+    assert gsp.kernel_supported(3, 33 * 33)         # small single block: fine
+    assert not gsp.kernel_supported(99, 128 * 128)  # channel cap still holds
+
+    img = rng.standard_normal((1, 64, 64, 3), dtype=np.float32)
+    grid = rng.uniform(-1, 1, size=(1, 130, 98, 2)).astype(np.float32)
+    # The pallas wrapper must produce the jnp result (fallback), regardless
+    # of backend.
+    out_pallas_api = gsp.grid_sample(jnp.asarray(img), jnp.asarray(grid))
+    out_jnp = gs.grid_sample(jnp.asarray(img), jnp.asarray(grid))
+    np.testing.assert_allclose(np.asarray(out_pallas_api),
+                               np.asarray(out_jnp), rtol=1e-6, atol=1e-6)

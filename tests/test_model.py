@@ -77,23 +77,43 @@ def test_temporal_state_matters(rng):
 
 
 def test_scan_matches_python_loop(rng):
-    """lax.scan recurrence == manual per-frame unroll (SURVEY.md §4.3)."""
+    """lax.scan recurrence == manual per-frame python unroll of the SAME
+    step module with the SAME params (SURVEY.md §4.3)."""
+    import flax.linen as nn
+    from dynamic_multiview_3d_tpu.models import dmv3d as dmv3d_lib
+
     cfg = _cfg()
     model = DMV3D(cfg)
     seq, src, tgt = _inputs(rng, b=1, t=3, k=1)
     variables = jax.jit(model.init)(jax.random.key(0), seq, src, tgt)
+    rec_params = {"params": variables["params"]["recurrent"]}
+
+    h0 = ConvGRUCell.init_state(1, cfg.bottleneck_size, cfg.bottleneck_size,
+                                cfg.gru_features, jnp.float32)
+    skips0 = tuple(jnp.zeros(s, jnp.float32) for s in model.skip_shapes(1))
+
+    # the scan exactly as the model builds it
+    step_scan = nn.scan(dmv3d_lib._RecurrentStep,
+                        variable_broadcast="params",
+                        split_rngs={"params": False},
+                        in_axes=1, out_axes=1)(cfg)
+    (h_scan, skips_scan), _ = jax.jit(step_scan.apply)(
+        rec_params, (h0, skips0), seq)
+
+    # manual python unroll of one step at a time, shared params
+    step_one = dmv3d_lib._RecurrentStep(cfg)
+    carry = (h0, skips0)
+    step_fn = jax.jit(step_one.apply)
+    for t in range(seq.shape[1]):
+        carry, _ = step_fn(rec_params, carry, seq[:, t])
+    h_loop, skips_loop = carry
+
+    chex.assert_trees_all_close(h_scan, h_loop, atol=1e-5)
+    chex.assert_trees_all_close(skips_scan, skips_loop, atol=1e-5)
+
+    # remat path must be numerically identical to the scan
     fwd = jax.jit(model.apply)
     out_scan = fwd(variables, seq, src, tgt)["view"]
-
-    # Unroll manually: feeding the full prefix through the scan one frame at
-    # a time with the carried state is equivalent to the scan itself IF the
-    # final output only depends on (last state, last skips). Check via
-    # feeding identical last frames but scrambled earlier frames -> different
-    # result (state dependence), and same full sequence -> identical result.
-    out_scan2 = fwd(variables, seq, src, tgt)["view"]
-    chex.assert_trees_all_close(out_scan, out_scan2)
-
-    # remat path must be numerically identical
     cfg_r = _cfg(remat_scan=True)
     model_r = DMV3D(cfg_r)
     out_remat = jax.jit(model_r.apply)(variables, seq, src, tgt)["view"]

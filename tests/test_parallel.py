@@ -110,3 +110,28 @@ def test_shard_batch_places_on_data_axis(batch):
     arr = global_batch["image_seq"]
     assert arr.shape[0] == 8
     assert len(arr.sharding.device_set) == 8
+
+
+def test_subsampling_shard_map_matches_auto():
+    """On-device view-pair subsampling must fold the GLOBAL example index:
+    every shard draws an independent subset and 'shard_map' == 'auto'
+    numerically (round-1 review: shards drew correlated permutations)."""
+    cfg = _cfg(overrides=["train.optimizer=sgd", "data.num_targets=4",
+                          "data.targets_per_step=2"])
+    src = SyntheticScenes(num_scenes=2, image_size=32, seq_len=1,
+                          num_targets=4)
+    batch8 = src.batch(range(8))
+    mesh = mesh_lib.make_mesh(config_lib.MeshConfig(data=8, model=1))
+
+    state0 = step_lib.init_state(cfg)
+    state_a = jax.device_put(state0, mesh_lib.replicate(mesh))
+    sm = step_lib.make_train_step(cfg, mesh=mesh, mode="shard_map")
+    _, m_sm = sm(state_a, mesh_lib.shard_batch(mesh, batch8))
+
+    state_b = jax.device_put(step_lib.init_state(cfg),
+                             mesh_lib.replicate(mesh))
+    auto = step_lib.make_train_step(cfg, mesh=mesh, mode="auto")
+    _, m_auto = auto(state_b, mesh_lib.shard_batch(mesh, batch8))
+
+    np.testing.assert_allclose(float(m_sm["loss/total"]),
+                               float(m_auto["loss/total"]), rtol=2e-5)

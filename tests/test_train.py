@@ -49,10 +49,37 @@ def test_losses_zero_when_perfect(rng):
 def test_mask_loss_supervises_in_bounds(rng):
     b, k, h, w = 1, 1, 8, 8
     flow = jnp.full((b, k, h, w, 2), 100.0)      # everything out of bounds
+    validity = losses_lib.flow_validity(flow)
+    assert float(validity.max()) == 0.0
     mask_open = jnp.full((b, k, h, w, 1), 0.99)
     mask_closed = jnp.full((b, k, h, w, 1), 0.01)
-    assert float(losses_lib.mask_loss(mask_closed, flow)) < float(
-        losses_lib.mask_loss(mask_open, flow))
+    assert float(losses_lib.mask_loss(mask_closed, validity)) < float(
+        losses_lib.mask_loss(mask_open, validity))
+
+
+def test_depth_mode_mask_supervision(rng):
+    """With synthesis='depth' the mask is supervised against geo_valid, not
+    the flow in-bounds mask (round-1 review fix: it trained the compositing
+    mask toward the wrong validity signal in depth mode)."""
+    b, k, h, w = 1, 1, 8, 8
+    tgt = jnp.zeros((b, k, h, w, 3))
+    out = {
+        "view": tgt,
+        "flow": jnp.zeros((b, k, h, w, 2)),      # fully IN bounds
+        "mask": jnp.full((b, k, h, w, 1), 0.01),  # closed mask
+        "depth": jnp.ones((b, k, h, w)),
+        "geo_view": tgt,
+        "geo_valid": jnp.zeros((b, k, h, w)),    # reprojection fully INVALID
+    }
+    tcfg = config_lib.TrainConfig()
+    _, m_flow = losses_lib.total_loss(out, {"tgt_images": tgt}, tcfg,
+                                      synthesis="flow")
+    _, m_depth = losses_lib.total_loss(out, {"tgt_images": tgt}, tcfg,
+                                       synthesis="depth")
+    # flow mode: target=1 (in bounds) -> closed mask is heavily penalized;
+    # depth mode: target=0 (geo invalid) -> closed mask is correct.
+    assert float(m_depth["loss/mask"]) < 0.05
+    assert float(m_flow["loss/mask"]) > 1.0
 
 
 def test_psnr_ssim_basics(rng):
@@ -228,3 +255,40 @@ def test_depth_head_receives_gradient(tmp_path):
     after = np.asarray(state.params["decoder"]["depth_head"]["kernel"])
     assert "loss/geo_l1" in m
     assert np.abs(after - before).max() > 0, "depth head got zero gradient"
+
+
+def test_ssim_matches_torch_reference(rng):
+    """Our Gaussian-window SSIM vs an independent torch/f64 implementation
+    of the Wang et al. formulation (round-1 review: SSIM had no oracle)."""
+    import torch
+    import torch.nn.functional as F
+
+    def torch_ssim(pred_nchw, target_nchw, data_range=2.0):
+        x = torch.arange(11, dtype=torch.float64) - 5.0
+        g = torch.exp(-(x ** 2) / (2 * 1.5 ** 2))
+        g = g / g.sum()
+        win = torch.outer(g, g)[None, None]
+        c = pred_nchw.shape[1]
+        win = win.repeat(c, 1, 1, 1)
+
+        def filt(z):
+            return F.conv2d(z, win, groups=c)
+
+        mu_p, mu_t = filt(pred_nchw), filt(target_nchw)
+        mu_pp, mu_tt, mu_pt = mu_p * mu_p, mu_t * mu_t, mu_p * mu_t
+        sig_p = filt(pred_nchw * pred_nchw) - mu_pp
+        sig_t = filt(target_nchw * target_nchw) - mu_tt
+        sig_pt = filt(pred_nchw * target_nchw) - mu_pt
+        c1 = (0.01 * data_range) ** 2
+        c2 = (0.03 * data_range) ** 2
+        num = (2 * mu_pt + c1) * (2 * sig_pt + c2)
+        den = (mu_pp + mu_tt + c1) * (sig_p + sig_t + c2)
+        return float((num / den).mean())
+
+    a = rng.uniform(-1, 1, (2, 24, 24, 3)).astype(np.float32)
+    b = np.clip(a + 0.2 * rng.standard_normal(a.shape).astype(np.float32),
+                -1, 1)
+    ours = float(metrics_lib.ssim(jnp.asarray(a), jnp.asarray(b)))
+    ref = torch_ssim(torch.from_numpy(a).permute(0, 3, 1, 2).double(),
+                     torch.from_numpy(b).permute(0, 3, 1, 2).double())
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-4)
