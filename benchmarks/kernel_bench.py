@@ -47,26 +47,57 @@ def main(n=128, hw=128, c=3):
     flow = jnp.asarray(
         rng.uniform(-20, 20, (n, hw, hw, 2)).astype(np.float32))
 
-    def fwd_body(impl):
+    mask = jnp.asarray(rng.uniform(0, 1, (n, hw, hw, 1)).astype(np.float32))
+    rgb = jnp.asarray(rng.standard_normal((n, hw, hw, c), dtype=np.float32))
+
+    def fwd_body(impl, precision="exact"):
         def body(acc):
-            out = sampling.flow_warp(img, flow + acc * 1e-9, impl=impl)
+            out = sampling.flow_warp(img, flow + acc * 1e-9, impl=impl,
+                                     precision=precision)
             return jnp.mean(out)
         return body
 
-    def bwd_body(impl):
+    def bwd_body(impl, precision="exact"):
         def loss(f):
-            return jnp.mean(sampling.flow_warp(img, f, impl=impl) ** 2)
+            return jnp.mean(sampling.flow_warp(img, f, impl=impl,
+                                               precision=precision) ** 2)
         def body(acc):
             g = jax.grad(loss)(flow + acc * 1e-9)
             return jnp.mean(g)
         return body
 
+    def fused_fwd_body(precision):
+        def body(acc):
+            v, _, _ = gsp.flow_warp_composite(img, flow + acc * 1e-9, mask,
+                                              rgb, precision=precision)
+            return jnp.mean(v)
+        return body
+
+    def fused_bwd_body(precision):
+        def loss(f, m, r):
+            v, _, _ = gsp.flow_warp_composite(img, f, m, r,
+                                              precision=precision)
+            return jnp.mean(v ** 2)
+        def body(acc):
+            g = jax.grad(loss, argnums=(0, 1, 2))(flow + acc * 1e-9, mask,
+                                                  rgb)
+            return jnp.mean(g[0])
+        return body
+
     results = {"shape": [n, hw, hw, c],
                "backend": jax.default_backend()}
-    for impl in ("jnp", "pallas"):
-        results[f"{impl}_fwd_ms"] = round(loop_time(fwd_body(impl)) * 1e3, 3)
-        results[f"{impl}_fwdbwd_ms"] = round(
-            loop_time(bwd_body(impl), n_iters=10) * 1e3, 3)
+    for impl, prec in (("jnp", "exact"), ("pallas", "exact"),
+                       ("pallas", "fast")):
+        tag = impl if prec == "exact" else f"{impl}_{prec}"
+        results[f"{tag}_fwd_ms"] = round(
+            loop_time(fwd_body(impl, prec)) * 1e3, 3)
+        results[f"{tag}_fwdbwd_ms"] = round(
+            loop_time(bwd_body(impl, prec), n_iters=10) * 1e3, 3)
+    for prec in ("exact", "fast"):
+        results[f"fused_{prec}_fwd_ms"] = round(
+            loop_time(fused_fwd_body(prec)) * 1e3, 3)
+        results[f"fused_{prec}_fwdbwd_ms"] = round(
+            loop_time(fused_bwd_body(prec), n_iters=10) * 1e3, 3)
     results["fwd_speedup_pallas"] = round(
         results["jnp_fwd_ms"] / results["pallas_fwd_ms"], 2)
     results["fwdbwd_speedup_pallas"] = round(

@@ -1,34 +1,50 @@
 """Pallas TPU bilinear grid-sample / flow-warp (SURVEY.md R10/R9 -> T0).
 
 TPU-first formulation — no gather, no scatter. For a block of P output
-pixels with continuous source coords (ix, iy):
+pixels with continuous source coords (ix, iy), the bilinear weight of source
+row h for coordinate iy is the TENT function
 
-    W_y[p, h] = (1-fy_p) * [h == y0_p]  +  fy_p * [h == y0_p + 1]
-    tmp       = W_y @ img                    # [P,H] @ [H,W]  — MXU
-    out[p]    = sum_w tmp[p, w] * W_x[p, w]  # fused x-lerp    — VPU
+    W_y[h, p] = relu(1 - |h - iy_p|)         # built in 3 VPU passes
 
-The y-direction gather *and* lerp collapse into one matmul against a
-two-nonzero one-hot matrix; the x direction is a weighted lane reduction.
-The backward pass is the transpose of the same algebra, so the scatter-add
-of gradients to 4 neighbors (the classically painful part on TPU,
-SURVEY.md §7 hard-part #1) is also just matmuls:
+(a two-nonzero column holding exactly (1-frac, frac) at rows floor(iy),
+floor(iy)+1 — the y-direction gather AND lerp in one matrix), so
 
-    d_img  = W_y^T @ (W_x * d_out)           # MXU scatter-add
+    tmp    = img^T-contract W_y              # [H,W] x [H,P] — MXU
+    out[p] = sum_w tmp[w, p] * W_x[w, p]     # x-lerp: lane reduction — VPU
+
+Round 1 built W from 4 explicit masked one-hot matrices (~8 VPU passes per
+axis and two matmuls per channel in fast mode); the tent form is the round-2
+profile fix — the kernel was VPU-bound on weight construction (2.84 ms of an
+11.1 ms c2 forward), not MXU-bound. The backward pass is the transpose of
+the same algebra, so the scatter-add of gradients to 4 neighbors (the
+classically painful part on TPU, SURVEY.md §7 hard-part #1) is also just
+matmuls:
+
+    d_img  = W_y contract_P (W_x * d_out)    # MXU scatter-add
     d_ix   = d_out * sum_w tmp * U_x         # U_* = d W_* / d coord
-    d_iy   = d_out * sum_w (U_y @ img) * W_x
+    d_iy   = d_out * sum_w (U_y-contract img) * W_x
 
-Padding modes: "zeros" masks the weights of out-of-range taps (values and
-coord-gradients match torch's grid_sample); "border" clamps tap indices
-(weights then sum correctly at the edge).
+with U the tent's subgradient under the floor-tap convention (matches
+torch): -1 on -1 < h-c <= 0, +1 on 0 < h-c <= 1, else 0.
+
+Padding modes: "zeros" — out-of-range taps have no rows, so the tent masks
+them for free (values and coord-gradients match torch's grid_sample);
+"border" — coords are clamped before the tent and coordinate gradients are
+zeroed outside the valid range (torch's clip_coordinates behavior).
 
 Kernel layout: grid (batch, pixel-block); channels are a static in-kernel
-loop so the one-hot weights are built once per block and shared. Images are
+loop so the tent weights are built once per block and shared. Images are
 NCHW inside the kernel ([H, W] tiles, W on lanes); pixels ride the LANE axis
 everywhere else (coords/outputs [.., 1, P], transposed weights [H|W, P]),
 so the kernel body has zero relayouts and zero lane-padding waste. The
 public wrappers take and return the framework's NHWC. d_img accumulates
 across pixel-block grid steps (consecutive revisits of the same output
 block — pipeline-safe).
+
+``flow_warp_composite`` additionally fuses the model's compositing
+(mask*warped + (1-mask)*rgb) and the mask-loss validity target into the same
+kernel, so heads -> warp -> composite never round-trips HBM
+(BASELINE.json north_star: kernels "fused with the adjacent" ops).
 """
 
 from __future__ import annotations
@@ -77,47 +93,43 @@ def _plan(total: int) -> int:
     return total                                             # single block
 
 
-def _taps_t(coord_row, size, padding_mode):
-    """coord [1, P] -> (oh0, oh1 [size, P] masked EXACT one-hots;
-    w0, w1, u0, u1 [1, P] lerp factors and their d/dcoord).
+def _tent_t(coord_row, size, padding_mode):
+    """coord [1, P] -> W [size, P] bilinear tent weights, f32.
 
-    The composed weight matrix is W = oh0*w0 + oh1*w1 (two nonzeros per
-    column) and U = oh0*u0 + oh1*u1. The masked one-hots hold only 0/1 —
-    exact in bf16 — which the fast path exploits. Lane-oriented (P lanes)."""
-    c0 = jnp.floor(coord_row)
-    frac = coord_row - c0                                 # [1, P]
-    i0 = c0.astype(jnp.int32)
-    i1 = i0 + 1
-    if padding_mode == "zeros":
-        ok0 = ((i0 >= 0) & (i0 <= size - 1))
-        ok1 = ((i1 >= 0) & (i1 <= size - 1))
-        w0 = (1.0 - frac)
-        w1 = frac
-        u0 = -jnp.ones_like(frac)
-        u1 = jnp.ones_like(frac)
-    else:  # border: clamp tap indices, weights unchanged
-        ok0 = ok1 = None
-        w0 = 1.0 - frac
-        w1 = frac
-        u0 = -jnp.ones_like(frac)
-        u1 = jnp.ones_like(frac)
-    i0c = jnp.clip(i0, 0, size - 1)
-    i1c = jnp.clip(i1, 0, size - 1)
+    W[h, p] = relu(1 - |h - c_p|): a two-nonzero column holding exactly
+    (1-frac, frac) at rows floor(c), floor(c)+1. In "zeros" mode an
+    out-of-range tap simply has no row, which masks it for free; in
+    "border" mode the coordinate is clamped first (the edge row then gets
+    the full weight)."""
+    if padding_mode == "border":
+        coord_row = jnp.clip(coord_row, 0.0, float(size - 1))
     p = coord_row.shape[1]
-    iota = jax.lax.broadcasted_iota(jnp.int32, (size, p), 0)
-    onehot0 = (iota == i0c)
-    onehot1 = (iota == i1c)
-    if ok0 is not None:  # fold the zeros-padding mask into the one-hots
-        onehot0 = onehot0 & ok0
-        onehot1 = onehot1 & ok1
-    return (onehot0.astype(jnp.float32), onehot1.astype(jnp.float32),
-            w0, w1, u0, u1)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (size, p), 0) \
+        .astype(jnp.float32)                  # Mosaic: iota must be integer
+    return jnp.maximum(0.0, 1.0 - jnp.abs(iota - coord_row))
 
 
-def _weights_t(coord_row, size, padding_mode):
-    """Composed (W [size, P], U [size, P]) for the exact path."""
-    oh0, oh1, w0, w1, u0, u1 = _taps_t(coord_row, size, padding_mode)
-    return oh0 * w0 + oh1 * w1, oh0 * u0 + oh1 * u1
+def _tent_grad_t(coord_row, size, padding_mode):
+    """U [size, P] = dW/dcoord under the floor-tap convention (matches
+    torch): -1 where -1 < h-c <= 0, +1 where 0 < h-c <= 1, else 0 — so at
+    exactly-integer coords the gradient is the forward difference
+    img[c+1] - img[c], like the explicit (floor, floor+1) tap pair. In
+    border mode the gradient is zeroed where the original coordinate is
+    out of range (clamp has zero slope there)."""
+    inb = None
+    if padding_mode == "border":
+        inb = ((coord_row >= 0.0) & (coord_row <= float(size - 1)))
+        inb = inb.astype(jnp.float32)
+        coord_row = jnp.clip(coord_row, 0.0, float(size - 1))
+    p = coord_row.shape[1]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (size, p), 0) \
+        .astype(jnp.float32)
+    d = iota - coord_row
+    u = jnp.where((d > -1.0) & (d <= 0.0), -1.0,
+                  jnp.where((d > 0.0) & (d <= 1.0), 1.0, 0.0))
+    if inb is not None:
+        u = u * inb
+    return u
 
 
 _HI = jax.lax.Precision.HIGHEST
@@ -146,33 +158,50 @@ def _contract_lo(a, b, last: bool = False):
         preferred_element_type=jnp.float32)
 
 
-def _fwd_kernel(ix_ref, iy_ref, img_ref, out_ref, *, channels, h, w,
-                padding_mode, mode):
-    ix = ix_ref[0, 0]                                     # [1, P] lanes
-    iy = iy_ref[0, 0]
+def _sample_rows(ix, iy, img_ref, *, channels, h, w, padding_mode, mode):
+    """Shared sampling body: yields (c, sampled [1, P]) per channel."""
+    wx_t = _tent_t(ix, w, padding_mode)                   # [W, P] f32
+    wy_t = _tent_t(iy, h, padding_mode)                   # [H, P] f32
     if mode == "exact":
-        wy_t, _ = _weights_t(iy, h, padding_mode)         # [H, P]
-        wx_t, _ = _weights_t(ix, w, padding_mode)         # [W, P]
         for c in range(channels):                         # static unroll
             # img [H,W] x wy_t [H,P] -> tmp_t [W,P]: gather+y-lerp on MXU
             tmp_t = _contract_first(img_ref[0, c], wy_t)
             # x-lerp: weighted sublane reduction -> (1, P) lane vector
-            out_ref[0, c, 0] = jnp.sum(tmp_t * wx_t, axis=0, keepdims=True)
+            yield c, jnp.sum(tmp_t * wx_t, axis=0, keepdims=True)
         return
-    # fast: the one-hots are EXACT in bf16 (0/1), so split the y-lerp out of
-    # the matmul — two single-pass bf16 matmuls + f32 VPU lerp instead of one
-    # 3-pass f32 matmul. Only the image's bf16 truncation remains as error.
-    oh0y, oh1y, w0y, w1y, _, _ = _taps_t(iy, h, padding_mode)
-    oh0x, oh1x, w0x, w1x, _, _ = _taps_t(ix, w, padding_mode)
-    wx_t = oh0x * w0x + oh1x * w1x                        # f32, VPU side
-    oh0y = oh0y.astype(jnp.bfloat16)
-    oh1y = oh1y.astype(jnp.bfloat16)
+    # fast: single-pass bf16 matmul (f32 accumulate); only the image's and
+    # weights' bf16 truncation remains as error (~3 decimal digits).
+    wy_b = wy_t.astype(jnp.bfloat16)
     for c in range(channels):
         img_b = img_ref[0, c].astype(jnp.bfloat16)
-        t0 = _contract_lo(img_b, oh0y)                    # [W, P] f32 out
-        t1 = _contract_lo(img_b, oh1y)
-        tmp_t = t0 * w0y + t1 * w1y                       # y-lerp on VPU
-        out_ref[0, c, 0] = jnp.sum(tmp_t * wx_t, axis=0, keepdims=True)
+        tmp_t = _contract_lo(img_b, wy_b)                 # [W, P] f32 out
+        yield c, jnp.sum(tmp_t * wx_t, axis=0, keepdims=True)
+
+
+def _fwd_kernel(ix_ref, iy_ref, img_ref, out_ref, *, channels, h, w,
+                padding_mode, mode):
+    ix = ix_ref[0, 0]                                     # [1, P] lanes
+    iy = iy_ref[0, 0]
+    for c, val in _sample_rows(ix, iy, img_ref, channels=channels, h=h, w=w,
+                               padding_mode=padding_mode, mode=mode):
+        out_ref[0, c, 0] = val
+
+
+def _fwd_composite_kernel(ix_ref, iy_ref, img_ref, mask_ref, rgb_ref,
+                          view_ref, warped_ref, valid_ref, *, channels, h, w,
+                          padding_mode, mode):
+    """Fused heads->warp->composite: view = mask*warp + (1-mask)*rgb, plus
+    the warp itself and the in-bounds validity (the mask-loss target)."""
+    ix = ix_ref[0, 0]                                     # [1, P] lanes
+    iy = iy_ref[0, 0]
+    m = mask_ref[0, 0]                                    # [1, P]
+    valid_ref[0, 0] = (((ix >= 0.0) & (ix <= float(w - 1))
+                        & (iy >= 0.0) & (iy <= float(h - 1)))
+                       .astype(jnp.float32))
+    for c, val in _sample_rows(ix, iy, img_ref, channels=channels, h=h, w=w,
+                               padding_mode=padding_mode, mode=mode):
+        warped_ref[0, c, 0] = val
+        view_ref[0, c, 0] = m * val + (1.0 - m) * rgb_ref[0, c, 0]
 
 
 def _bwd_kernel(ix_ref, iy_ref, img_ref, dout_ref,
@@ -189,9 +218,12 @@ def _bwd_kernel(ix_ref, iy_ref, img_ref, dout_ref,
     dix = jnp.zeros((1, p), jnp.float32)
     diy = jnp.zeros((1, p), jnp.float32)
 
+    wy_t = _tent_t(iy, h, padding_mode)                   # [H, P]
+    uy_t = _tent_grad_t(iy, h, padding_mode)
+    wx_t = _tent_t(ix, w, padding_mode)                   # [W, P]
+    ux_t = _tent_grad_t(ix, w, padding_mode)
+
     if mode == "exact":
-        wy_t, uy_t = _weights_t(iy, h, padding_mode)      # [H, P]
-        wx_t, ux_t = _weights_t(ix, w, padding_mode)      # [W, P]
         for c in range(channels):
             img = img_ref[0, c]                           # [H, W]
             dout = dout_ref[0, c, 0]                      # [1, P]
@@ -206,25 +238,20 @@ def _bwd_kernel(ix_ref, iy_ref, img_ref, dout_ref,
         diy_ref[0, 0] = diy
         return
 
-    # fast: u0=-1/u1=+1 with masks folded into the one-hots, so
-    # dtmp/dy = t1 - t0 falls out of the forward's two exact matmuls free.
-    oh0y, oh1y, w0y, w1y, _, _ = _taps_t(iy, h, padding_mode)
-    oh0x, oh1x, w0x, w1x, _, _ = _taps_t(ix, w, padding_mode)
-    wy_t = oh0y * w0y + oh1y * w1y
-    wx_t = oh0x * w0x + oh1x * w1x
-    ux_t = oh1x - oh0x
-    oh0y_b = oh0y.astype(jnp.bfloat16)
-    oh1y_b = oh1y.astype(jnp.bfloat16)
+    # fast: single-pass bf16 matmuls, f32 accumulate. U is exactly ±1/0 in
+    # bf16; the tent weights and image values see bf16 truncation.
+    wy_b = wy_t.astype(jnp.bfloat16)
+    uy_b = uy_t.astype(jnp.bfloat16)
+    wx_b = wx_t.astype(jnp.bfloat16)
     for c in range(channels):
         img_b = img_ref[0, c].astype(jnp.bfloat16)
         dout = dout_ref[0, c, 0]                          # [1, P]
         dimg_ref[0, c] += _contract_lo((wy_t * dout).astype(jnp.bfloat16),
-                                       wx_t.astype(jnp.bfloat16), last=True)
-        t0 = _contract_lo(img_b, oh0y_b)                  # [W, P]
-        t1 = _contract_lo(img_b, oh1y_b)
-        tmp_t = t0 * w0y + t1 * w1y
+                                       wx_b, last=True)
+        tmp_t = _contract_lo(img_b, wy_b)                 # [W, P]
+        dtmp_dy_t = _contract_lo(img_b, uy_b)             # [W, P]
         dix += jnp.sum(tmp_t * ux_t, axis=0, keepdims=True) * dout
-        diy += jnp.sum((t1 - t0) * wx_t, axis=0, keepdims=True) * dout
+        diy += jnp.sum(dtmp_dy_t * wx_t, axis=0, keepdims=True) * dout
     dix_ref[0, 0] = dix
     diy_ref[0, 0] = diy
 
@@ -293,6 +320,49 @@ def _call_bwd(img_nchw, ix, iy, dout, padding_mode, interpret, mode):
     return dimg, dix.reshape(n, total), diy.reshape(n, total)
 
 
+def _call_fwd_composite(img_nchw, ix, iy, mask, rgb, padding_mode, interpret,
+                        mode):
+    """mask [N, P], rgb [N, C, P] -> (view, warped [N,C,P], valid [N,P])."""
+    n, c, h, w = img_nchw.shape
+    total = ix.shape[1]
+    pb = _plan(total)
+    nb = total // pb
+    ix4 = ix.reshape(n, nb, 1, pb)
+    iy4 = iy.reshape(n, nb, 1, pb)
+    mask4 = mask.reshape(n, nb, 1, pb)
+    rgb5 = rgb.reshape(n, c, nb, 1, pb)
+    kernel = functools.partial(_fwd_composite_kernel, channels=c, h=h, w=w,
+                               padding_mode=padding_mode, mode=mode)
+    coord_spec = pl.BlockSpec((1, 1, 1, pb), lambda ni, bi: (ni, bi, 0, 0),
+                              memory_space=pltpu.VMEM)
+    chan_spec = pl.BlockSpec((1, c, 1, 1, pb),
+                             lambda ni, bi: (ni, 0, bi, 0, 0),
+                             memory_space=pltpu.VMEM)
+    view, warped, valid = pl.pallas_call(
+        kernel,
+        grid=(n, nb),
+        in_specs=[
+            coord_spec, coord_spec,
+            pl.BlockSpec((1, c, h, w), lambda ni, bi: (ni, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            coord_spec, chan_spec,
+        ],
+        out_specs=[chan_spec, chan_spec, coord_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, c, nb, 1, pb), jnp.float32),
+            jax.ShapeDtypeStruct((n, c, nb, 1, pb), jnp.float32),
+            jax.ShapeDtypeStruct((n, nb, 1, pb), jnp.float32),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * c * total * h,
+            bytes_accessed=4 * n * c * (h * w + 6 * total),
+            transcendentals=0),
+    )(ix4, iy4, img_nchw, mask4, rgb5)
+    return (view.reshape(n, c, total), warped.reshape(n, c, total),
+            valid.reshape(n, total))
+
+
 # ---------------------------------------------------------------------------
 # Differentiable pixel-coordinate sampler (custom VJP around the kernels).
 # ---------------------------------------------------------------------------
@@ -304,9 +374,9 @@ def sample_pixel_coords(img_nchw, ix, iy, padding_mode="zeros",
 
     Returns [N, C, P] float32. Differentiable in image and coords.
     precision="exact" keeps f32 everywhere (3-pass MXU dots);
-    "fast" runs single-pass bf16 matmuls against exact one-hots — only the
-    image/gradient values see bf16 truncation (~3 decimal digits), ~2-3x
-    faster. The model uses "fast" by default (cfg.model.warp_precision).
+    "fast" runs single-pass bf16 matmuls — image, tent weights and gradient
+    values see bf16 truncation (~3 decimal digits), several times faster.
+    The model uses "fast" by default (cfg.model.warp_precision).
     """
     return _call_fwd(img_nchw.astype(jnp.float32), ix.astype(jnp.float32),
                      iy.astype(jnp.float32), padding_mode, interpret,
@@ -385,3 +455,85 @@ def flow_warp(image, flow, *, padding_mode="border", interpret=False,
         coords[..., 1].reshape(n, h * w), padding_mode, interpret, precision)
     return jnp.transpose(out.reshape(n, c, h, w), (0, 2, 3, 1)) \
         .astype(image.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Fused warp + composite (+ validity) — the north-star fusion (BASELINE.json).
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _warp_composite_pix(img_nchw, ix, iy, mask, rgb, padding_mode="border",
+                        interpret=False, precision="exact"):
+    """Fused (view, warped, valid) at pixel coords; mask [N,P], rgb [N,C,P].
+
+    view = mask * sample(img, ix, iy) + (1-mask) * rgb;
+    valid = 1 where (ix, iy) lands inside the image (mask-loss target).
+    Differentiable in img, coords, mask, rgb; valid has zero gradient.
+    """
+    return _call_fwd_composite(
+        img_nchw.astype(jnp.float32), ix.astype(jnp.float32),
+        iy.astype(jnp.float32), mask.astype(jnp.float32),
+        rgb.astype(jnp.float32), padding_mode, interpret, precision)
+
+
+def _wc_fwd(img, ix, iy, mask, rgb, padding_mode, interpret, precision):
+    out = _warp_composite_pix(img, ix, iy, mask, rgb, padding_mode,
+                              interpret, precision)
+    view, warped, valid = out
+    return out, (img, ix, iy, mask, rgb, warped)
+
+
+def _wc_bwd(padding_mode, interpret, precision, res, cots):
+    img, ix, iy, mask, rgb, warped = res
+    d_view, d_warped, _ = cots                 # valid is a step fn: no grad
+    d_view = d_view.astype(jnp.float32)
+    m = mask.astype(jnp.float32)[:, None, :]   # [N,1,P]
+    # chain rule through the composite (all elementwise — XLA fuses):
+    ds = d_view * m + d_warped.astype(jnp.float32)       # sample cotangent
+    dmask = jnp.sum(d_view * (warped - rgb.astype(jnp.float32)), axis=1)
+    drgb = (d_view * (1.0 - m)).astype(rgb.dtype)
+    dimg, dix, diy = _call_bwd(
+        img.astype(jnp.float32), ix.astype(jnp.float32),
+        iy.astype(jnp.float32), ds, padding_mode, interpret, precision)
+    return (dimg.astype(img.dtype), dix.astype(ix.dtype),
+            diy.astype(iy.dtype), dmask.astype(mask.dtype), drgb)
+
+
+_warp_composite_pix.defvjp(_wc_fwd, _wc_bwd)
+
+
+def flow_warp_composite(image, flow, mask, rgb, *, padding_mode="border",
+                        interpret=False, precision="exact"):
+    """Fused appearance-flow synthesis (NHWC):
+
+        warped = bilinear(image, base_grid + flow)
+        view   = mask * warped + (1 - mask) * rgb
+        valid  = in-bounds(base_grid + flow)     # the mask-loss target
+
+    in ONE Pallas kernel — the decoder heads' outputs feed the warp and the
+    composite without round-tripping HBM (SURVEY.md R9/R13; the
+    BASELINE.json north-star "fused with the adjacent" mandate). Falls back
+    to the unfused jnp composition off-TPU/unsupported shapes.
+
+    image [N,H,W,C]; flow [N,H,W,2] (pixel units); mask [N,H,W,1];
+    rgb [N,H,W,C] -> (view, warped, valid[N,H,W]), all float32.
+    """
+    from dynamic_multiview_3d_tpu.ops import sampling
+    n, h, w, c = image.shape
+    if not kernel_supported(c, h * w):
+        warped = sampling.flow_warp(image.astype(jnp.float32), flow,
+                                    padding_mode=padding_mode, impl="jnp")
+        valid = sampling.in_bounds_mask(flow.astype(jnp.float32), h, w)
+        view = mask * warped + (1.0 - mask) * rgb
+        return view, warped, valid
+    coords = sampling.base_grid(h, w, jnp.float32)[None] \
+        + flow.astype(jnp.float32)
+    img_nchw = jnp.transpose(image, (0, 3, 1, 2))
+    rgb_ncp = jnp.transpose(rgb, (0, 3, 1, 2)).reshape(n, c, h * w)
+    view, warped, valid = _warp_composite_pix(
+        img_nchw, coords[..., 0].reshape(n, h * w),
+        coords[..., 1].reshape(n, h * w), mask.reshape(n, h * w), rgb_ncp,
+        padding_mode, interpret, precision)
+    def back(x):
+        return jnp.transpose(x.reshape(n, c, h, w), (0, 2, 3, 1))
+    return back(view), back(warped), valid.reshape(n, h, w)

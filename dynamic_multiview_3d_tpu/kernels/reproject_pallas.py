@@ -62,8 +62,8 @@ def _fused_kernel(params_ref, depth_ref, img_ref, out_ref, valid_ref, *,
     iy = jnp.where(valid, qy / qz_safe, _FAR)
     valid_ref[0, 0] = valid.astype(jnp.float32)
 
-    wy_t, _ = gsp._weights_t(iy, h, "zeros")              # [H, P]
-    wx_t, _ = gsp._weights_t(ix, w, "zeros")              # [W, P]
+    wy_t = gsp._tent_t(iy, h, "zeros")                    # [H, P]
+    wx_t = gsp._tent_t(ix, w, "zeros")                    # [W, P]
     for c in range(channels):
         tmp_t = gsp._contract_first(img_ref[0, c], wy_t)  # [W, P]
         out_ref[0, c, 0] = jnp.sum(tmp_t * wx_t, axis=0, keepdims=True)

@@ -208,17 +208,31 @@ class DMV3D(nn.Module):
         heads = Decoder(cfg, name="decoder")(z, skips_k)
 
         # --- synthesis: appearance-flow warp of the last frame + compositing.
+        # On TPU with flow synthesis the warp, the composite AND the
+        # mask-loss validity target run as ONE fused Pallas kernel
+        # (flow_warp_composite) — heads -> warp -> composite never
+        # round-trips HBM. Other paths compose the same math in XLA.
         last_frame = tile_k(image_seq[:, -1].astype(jnp.float32))
         impl = "pallas" if (cfg.use_pallas
                             and jax.default_backend() == "tpu") else "jnp"
-        warped = sampling.flow_warp(last_frame, heads["flow"],
-                                    padding_mode="border", impl=impl,
-                                    precision=cfg.warp_precision)
         mask = heads["mask"]
+        view = None
+        if impl == "pallas" and cfg.synthesis == "flow":
+            from dynamic_multiview_3d_tpu.kernels import grid_sample_pallas
+            view, warped, flow_valid = grid_sample_pallas.flow_warp_composite(
+                last_frame, heads["flow"], mask, heads["rgb"],
+                padding_mode="border", precision=cfg.warp_precision)
+        else:
+            warped = sampling.flow_warp(last_frame, heads["flow"],
+                                        padding_mode="border", impl=impl,
+                                        precision=cfg.warp_precision)
+            flow_valid = sampling.in_bounds_mask(
+                heads["flow"].astype(jnp.float32), h, w)
 
         out = {
             "warped": warped.reshape(b, k, h, w, 3),
             "flow": heads["flow"].reshape(b, k, h, w, 2),
+            "flow_valid": flow_valid.reshape(b, k, h, w),
             "mask": mask.reshape(b, k, h, w, 1),
             "rgb": heads["rgb"].reshape(b, k, h, w, 3),
         }
@@ -248,12 +262,12 @@ class DMV3D(nn.Module):
 
         # Composite: mask gates the geometric resample (flow warp or depth
         # reprojection) against the hallucinated rgb (SURVEY.md R9/R13).
+        # The flow+pallas path already composited inside the fused kernel.
         if cfg.synthesis == "depth":
             if not cfg.predict_depth:
                 raise ValueError("synthesis='depth' requires predict_depth=True")
-            geo = geo_view
-        else:
-            geo = warped
-        view = mask * geo + (1.0 - mask) * heads["rgb"]
+            view = mask * geo_view + (1.0 - mask) * heads["rgb"]
+        elif view is None:
+            view = mask * warped + (1.0 - mask) * heads["rgb"]
         out["view"] = view.reshape(b, k, h, w, 3)
         return out

@@ -54,6 +54,9 @@ def total_loss(out: dict, batch: dict, cfg: TrainConfig,
     l1 = l1_loss(out["view"], target)
     if synthesis == "depth":
         validity = out["geo_valid"][..., None]
+    elif "flow_valid" in out:
+        # computed inside the fused warp kernel (or the model's jnp path)
+        validity = out["flow_valid"][..., None]
     else:
         validity = flow_validity(out["flow"])
     lm = mask_loss(out["mask"], validity)

@@ -201,3 +201,47 @@ def test_fused_depth_reproject_compiled_on_tpu(rng):
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(view_f), np.asarray(view_r),
                                rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.parametrize("precision", ["exact", "fast"])
+def test_flow_warp_composite_matches_unfused(rng, precision):
+    """Fused warp+composite+validity kernel == the unfused jnp composition,
+    forward and all four gradients (image, flow, mask, rgb)."""
+    n, h, w, c = 2, 16, 16, 3
+    img = jnp.asarray(rng.standard_normal((n, h, w, c), dtype=np.float32))
+    flow = jnp.asarray(rng.uniform(-6, 6, (n, h, w, 2)).astype(np.float32))
+    mask = jnp.asarray(rng.uniform(0.1, 0.9, (n, h, w, 1)).astype(np.float32))
+    rgb = jnp.asarray(rng.standard_normal((n, h, w, c), dtype=np.float32))
+
+    view_f, warped_f, valid_f = gsp.flow_warp_composite(
+        img, flow, mask, rgb, interpret=INTERP, precision=precision)
+    warped_r = sampling.flow_warp(img, flow, impl="jnp")
+    valid_r = sampling.in_bounds_mask(flow, h, w)
+    view_r = mask * warped_r + (1.0 - mask) * rgb
+    tol = 1e-5 if precision == "exact" else 2e-2
+    np.testing.assert_allclose(np.asarray(valid_f), np.asarray(valid_r),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(warped_f), np.asarray(warped_r),
+                               rtol=tol, atol=tol)
+    np.testing.assert_allclose(np.asarray(view_f), np.asarray(view_r),
+                               rtol=tol, atol=tol)
+
+    cot = jnp.asarray(rng.standard_normal((n, h, w, c), dtype=np.float32))
+
+    def loss_fused(i, f, m, r):
+        v, w_, _ = gsp.flow_warp_composite(i, f, m, r, interpret=INTERP,
+                                           precision=precision)
+        return jnp.sum(v * cot) + jnp.sum(w_ ** 2) * 0.1
+
+    def loss_ref(i, f, m, r):
+        w_ = sampling.flow_warp(i, f, impl="jnp")
+        v = m * w_ + (1.0 - m) * r
+        return jnp.sum(v * cot) + jnp.sum(w_ ** 2) * 0.1
+
+    g_f = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(img, flow, mask, rgb)
+    g_r = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(img, flow, mask, rgb)
+    gtol = 1e-4 if precision == "exact" else 5e-2
+    for a, b in zip(g_f, g_r):
+        a, b = np.asarray(a), np.asarray(b)
+        np.testing.assert_allclose(a, b, rtol=gtol,
+                                   atol=gtol * max(np.abs(b).max(), 1.0))
