@@ -96,7 +96,8 @@ def main():
         jnp.repeat(src[:, -1], k, axis=0), tgt.reshape(bk, -1),
         mode=m.pose_mode)
     z = jnp.zeros_like(bott_in)
-    skip_shapes = module.skip_shapes(bk)
+    # decoder takes per-example skips [B] and broadcasts over K internally
+    skip_shapes = module.skip_shapes(b)
     skips = tuple(jnp.zeros(s, dt) for s in skip_shapes)
     frame = jnp.zeros((b, size, size, 3), jnp.float32)
     frame_k = jnp.zeros((bk, size, size, 3), jnp.float32)
@@ -123,7 +124,7 @@ def main():
             (params["bottleneck"], bott_in, pose_code)),
         "decoder+heads_BK": (
             lambda p, x, sk, e: jnp.mean(dec.apply(
-                {"params": p}, x + jnp.asarray(e, dt), sk)["flow"]),
+                {"params": p}, x + jnp.asarray(e, dt), sk, k)["flow"]),
             (params["decoder"], z, skips)),
         "warp_BK": (
             lambda img, fl, e: jnp.mean(sampling.flow_warp(
@@ -133,11 +134,6 @@ def main():
         "composite_BK": (
             lambda w_, mk, rh, e: jnp.mean(mk * (w_ + e) + (1 - mk) * rh),
             (frame_k, mask, rgbh)),
-        "tile_k_skips": (
-            lambda sk, e: jnp.mean(jnp.concatenate(
-                [jnp.repeat(s + jnp.asarray(e, dt), k, axis=0).reshape(-1)
-                 for s in sk]).astype(jnp.float32)),
-            (tuple(jnp.zeros((b,) + s[1:], dt) for s in skip_shapes),)),
     }
 
     results = {}
@@ -155,7 +151,7 @@ def main():
     full = results["full_forward"]["ms"]
     acct = sum(results[n]["ms"] for n in
                ("encoder_B", "bottleneck_BK", "decoder+heads_BK", "warp_BK",
-                "composite_BK", "tile_k_skips"))
+                "composite_BK"))
     print(json.dumps({"accounted_ms": round(acct, 3), "full_ms": full,
                       "views_per_s": round(bk / (full / 1e3), 1)}))
 

@@ -9,9 +9,12 @@ this architecturally-identical torch CPU model, clearly labeled as a stand-in
 framework itself — this file exists only for benchmarking and as a gradient
 oracle.
 
-Architecture mirrors models/dmv3d.py one-to-one: stride-2 conv encoder with
-GroupNorm, ConvGRU, pose-MLP bottleneck, upsample+skip decoder,
-flow/mask/rgb heads, grid_sample flow warp, mask compositing.
+Architecture mirrors models/dmv3d.py one-to-one (kept in lockstep with the
+round-2 decoder rework so the stand-in benefits from the SAME FLOP
+reductions): stride-2 conv encoder with GroupNorm, ConvGRU, pose-MLP
+bottleneck, subpixel (2x2 conv + pixel-shuffle) decoder with split skip
+fusion computed once per example, merged flow/mask/rgb head conv,
+grid_sample flow warp, mask compositing.
 """
 
 from __future__ import annotations
@@ -82,17 +85,21 @@ class TorchDMV3D(nn.Module):
             nn.Linear(pose_dim, pose_dim))
         self.mix1 = ConvBlock(gru + pose_dim, gru, kernel=1)
         self.mix2 = ConvBlock(gru, gru)
-        self.ups = nn.ModuleList()
-        self.fuses = nn.ModuleList()
+        self.ups = nn.ModuleList()       # 2x2 conv -> 4f -> pixel shuffle
+        self.up_norms = nn.ModuleList()
+        self.fuse_x = nn.ModuleList()
+        self.fuse_s = nn.ModuleList()
+        self.fuse_norms = nn.ModuleList()
         cin = gru
         for i in range(levels - 1, -1, -1):
-            self.ups.append(ConvBlock(cin, f(i)))
-            self.fuses.append(ConvBlock(f(i) * 2 if i > 0 else f(i) + f(0),
-                                        f(i)))
+            self.ups.append(nn.Conv2d(cin, 4 * f(i), 2, padding="same"))
+            self.up_norms.append(_gn(f(i)))
+            self.fuse_x.append(nn.Conv2d(f(i), f(i), 3, padding=1))
+            self.fuse_s.append(nn.Conv2d(f(i) if i > 0 else f(0), f(i), 3,
+                                         padding=1, bias=False))
+            self.fuse_norms.append(_gn(f(i)))
             cin = f(i)
-        self.flow_head = nn.Conv2d(f(0), 2, 3, padding=1)
-        self.mask_head = nn.Conv2d(f(0), 1, 3, padding=1)
-        self.rgb_head = nn.Conv2d(f(0), 3, 3, padding=1)
+        self.heads = nn.Conv2d(f(0), 6, 3, padding=1)
 
     def encode(self, x):
         x = self.stem(x)
@@ -117,19 +124,20 @@ class TorchDMV3D(nn.Module):
             h = self.gru(h, bott)
 
         h = h.repeat_interleave(k, 0)
-        skips = [s.repeat_interleave(k, 0) for s in skips]
         emb = self.pose_fc(pose_code)
         emb = emb[:, :, None, None].expand(-1, -1, *h.shape[-2:])
         x = self.mix2(self.mix1(torch.cat([h, emb], 1)))
         for idx, i in enumerate(range(self.levels - 1, -1, -1)):
-            x = F.interpolate(x, scale_factor=2, mode="nearest")
-            x = self.ups[idx](x)
-            x = torch.cat([x, skips[i]], 1)
-            x = self.fuses[idx](x)
-        flow = torch.tanh(self.flow_head(x)) * (self.max_flow
-                                                * self.image_size)
-        mask = torch.sigmoid(self.mask_head(x))
-        rgb = torch.tanh(self.rgb_head(x))
+            x = F.pixel_shuffle(self.ups[idx](x), 2)
+            x = F.relu(self.up_norms[idx](x))
+            hx = self.fuse_x[idx](x)
+            hs = self.fuse_s[idx](skips[i])      # once per example [B]
+            x = hx + hs.repeat_interleave(k, 0)
+            x = F.relu(self.fuse_norms[idx](x))
+        h3 = self.heads(x)
+        flow = torch.tanh(h3[:, 0:2]) * (self.max_flow * self.image_size)
+        mask = torch.sigmoid(h3[:, 2:3])
+        rgb = torch.tanh(h3[:, 3:6])
 
         last = image_seq[:, -1].repeat_interleave(k, 0)
         hh, ww = last.shape[-2:]

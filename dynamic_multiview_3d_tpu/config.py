@@ -25,6 +25,7 @@ class ModelConfig:
     pose_embed_dim: int = 64         # MLP embedding of the encoded pose
     pose_mode: str = "sincos"        # "sincos" (az/el/r) | "mat" (flat 4x4)
     norm: str = "group"              # "group" | "none"  (no batch stats -> DP-safe)
+    up_kernel: int = 2               # decoder subpixel-upsample conv kernel
     max_flow: float = 0.5            # flow head range as a fraction of image size
     predict_depth: bool = False      # enable depth head + depth-reprojection path
     use_pallas: bool = True          # Pallas kernels on TPU, jnp fallback elsewhere

@@ -11,7 +11,9 @@ from __future__ import annotations
 from typing import Any
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def _num_groups(features: int) -> int:
@@ -19,6 +21,44 @@ def _num_groups(features: int) -> int:
     while features % g:
         g -= 1
     return g
+
+
+class FastGroupNorm(nn.Module):
+    """GroupNorm whose stats come from fused bf16->f32 reductions.
+
+    flax's ``nn.GroupNorm`` converts the whole activation to f32 before the
+    reductions; at 128² decoder shapes that materialized f32 copy was
+    ~0.8 ms per call in the round-2 xprof trace (the decoder's single
+    biggest non-conv cost). Here the converts fuse INTO the reduces (no
+    f32 tensor ever lands in HBM) and the normalization is one fused
+    per-channel scale/shift in the compute dtype. Matches nn.GroupNorm to
+    bf16 rounding; same param names (scale/bias)."""
+
+    num_groups: int
+    dtype: Any = jnp.float32
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        g = self.num_groups
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        n = x.shape[0]
+        spatial = int(np.prod(x.shape[1:-1]))
+        xg = x.reshape(n, spatial, g, c // g)
+        xf = xg.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=(1, 3))                       # [n, g]
+        mean2 = jnp.mean(jnp.square(xf), axis=(1, 3))
+        inv = jax.lax.rsqrt(jnp.maximum(mean2 - mean * mean, 0.0)
+                            + self.epsilon)
+        # fold group stats + channel affine into one scale/shift per (n, c)
+        s = inv[:, :, None] * scale.reshape(g, -1)[None]       # [n, g, c/g]
+        b = bias.reshape(g, -1)[None] - mean[:, :, None] * s
+        shape = (n,) + (1,) * (x.ndim - 2) + (c,)
+        s = s.reshape(shape).astype(self.dtype)
+        b = b.reshape(shape).astype(self.dtype)
+        return x.astype(self.dtype) * s + b
 
 
 class ConvBlock(nn.Module):
@@ -36,8 +76,8 @@ class ConvBlock(nn.Module):
                     strides=(self.stride, self.stride), padding="SAME",
                     dtype=self.dtype, name="conv")(x)
         if self.norm == "group":
-            x = nn.GroupNorm(num_groups=_num_groups(self.features),
-                             dtype=self.dtype, name="norm")(x)
+            x = FastGroupNorm(num_groups=_num_groups(self.features),
+                              dtype=self.dtype, name="norm")(x)
         return nn.relu(x)
 
 
@@ -118,4 +158,17 @@ def upsample2x(x: jnp.ndarray) -> jnp.ndarray:
     """
     n, h, w, c = x.shape
     x = jnp.broadcast_to(x[:, :, None, :, None, :], (n, h, 2, w, 2, c))
+    return x.reshape(n, 2 * h, 2 * w, c)
+
+
+def depth_to_space2(x: jnp.ndarray) -> jnp.ndarray:
+    """[N, H, W, 4C] -> [N, 2H, 2W, C] (pixel shuffle, phase order (dy, dx)).
+
+    The decoder's subpixel upsampling: a conv at LOW resolution emits the
+    4 high-res phases as channels; this reshuffle is pure data movement
+    that XLA folds into the surrounding ops."""
+    n, h, w, c4 = x.shape
+    c = c4 // 4
+    x = x.reshape(n, h, w, 2, 2, c)
+    x = jnp.transpose(x, (0, 1, 3, 2, 4, 5))
     return x.reshape(n, 2 * h, 2 * w, c)

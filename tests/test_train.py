@@ -101,7 +101,10 @@ def test_overfit_one_batch(rng, tmp_path):
     state = step_lib.init_state(cfg)
     step_fn = step_lib.make_train_step(cfg)
     first = None
-    for _ in range(30):
+    # 45 steps: the l1 term halves well before this; the mask BCE term is
+    # noisy on a one-batch overfit (flow saturation flips its target), so
+    # the margin is deliberately loose.
+    for _ in range(45):
         state, m = step_fn(state, batch)
         if first is None:
             first = float(m["loss/total"])
