@@ -146,6 +146,11 @@ class Decoder(nn.Module):
                          name=f"fuse{i}_skip")(skips[i].astype(dt))
             b = hs.shape[0]
             hh, ww = hx.shape[1:3]
+            # NOTE(round-2 negative result): a Pallas-fused add+GN+relu
+            # epilogue was built and measured SLOWER than this XLA
+            # composition (1.48 vs 1.00 ms at the level-0 shape) — XLA
+            # already fuses the add into the norm's reduce/normalize
+            # passes well. Trace evidence in BASELINE.md.
             x = (hx.reshape(b, k, hh, ww, f)
                  + hs[:, None]).reshape(b * k, hh, ww, f)
             if cfg.norm == "group":

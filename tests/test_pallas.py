@@ -245,3 +245,4 @@ def test_flow_warp_composite_matches_unfused(rng, precision):
         a, b = np.asarray(a), np.asarray(b)
         np.testing.assert_allclose(a, b, rtol=gtol,
                                    atol=gtol * max(np.abs(b).max(), 1.0))
+
