@@ -185,17 +185,25 @@ def _write_image_summaries(render_fn, writer, state, batch, step):
 
 
 def _make_batch_fn(cfg: config_lib.Config, data_source):
-    """Deterministic step -> global numpy batch (resume == replay).
+    """Deterministic step -> THIS PROCESS's slice of the global batch
+    (resume == replay). Each process materializes only its contiguous
+    local rows; mesh_lib.shard_batch assembles the global array from the
+    per-process slices (make_array_from_process_local_data). Single-process
+    this is simply the whole batch.
 
     With device_preprocess, images stay uint8 on the host and are
     normalized inside the jitted step (data.pipeline.preprocess)."""
     import inspect
     bsz = cfg.data.batch_size
+    pcnt = jax.process_count()
+    local = bsz // pcnt
+    lo_off = jax.process_index() * local
     raw = cfg.data.device_preprocess
     has_raw = "raw" in inspect.signature(data_source.batch).parameters
 
     def batch_for_step(step: int) -> dict:
-        idx = range(step * bsz, (step + 1) * bsz)
+        lo = step * bsz + lo_off
+        idx = range(lo, lo + local)
         if has_raw:
             return data_source.batch(idx, raw=raw)
         return data_source.batch(idx)  # custom sources without a raw path

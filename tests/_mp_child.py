@@ -1,0 +1,65 @@
+"""Child process for the real 2-process distributed test (not a test file).
+
+Usage: python tests/_mp_child.py <coordinator_port> <process_id>
+
+Runs jax.distributed.initialize over two CPU processes (4 virtual devices
+each -> one 8-device global mesh), pulls THIS process's Grain shard, builds
+the global batch with make_array_from_process_local_data, executes one
+shard_map DP train step, and prints the (globally pmean'd) loss as JSON.
+"""
+
+import json
+import os
+import sys
+
+
+def main() -> None:
+    port, pid = sys.argv[1], int(sys.argv[2])
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+
+    import jax
+    jax.config.update("jax_platforms", "cpu")   # sitecustomize override
+    jax.distributed.initialize(f"localhost:{port}", num_processes=2,
+                               process_id=pid)
+    assert jax.process_count() == 2, jax.process_count()
+    assert len(jax.devices()) == 8, jax.devices()
+    assert len(jax.local_devices()) == 4
+
+    from dynamic_multiview_3d_tpu import config as config_lib
+    from dynamic_multiview_3d_tpu.data import pipeline as pipeline_lib
+    from dynamic_multiview_3d_tpu.parallel import mesh as mesh_lib
+    from dynamic_multiview_3d_tpu.train import step as step_lib
+
+    cfg = config_lib.override(config_lib.Config(), [
+        "model.image_size=32", "model.num_levels=3", "model.base_features=8",
+        "model.max_features=16", "model.gru_features=16",
+        "model.pose_embed_dim=8", "model.dtype=float32",
+        "model.use_pallas=False",
+        "data.image_size=32", "data.batch_size=8", "data.num_scenes=16",
+        "data.grain_workers=0", "train.optimizer=sgd", "train.lr=1e-3",
+    ])
+
+    # per-process Grain shard: 4 of the global 8 examples
+    it = pipeline_lib.make_grain_iterator(cfg.data, num_epochs=1)
+    local_batch = next(it)
+    assert local_batch["image_seq"].shape[0] == 4
+
+    mesh = mesh_lib.make_mesh(config_lib.MeshConfig(data=8, model=1))
+    state = step_lib.init_state(cfg)          # same seed -> same params
+    state = jax.device_put(state, mesh_lib.replicate(mesh))
+    global_batch = mesh_lib.shard_batch(mesh, local_batch)
+    assert global_batch["image_seq"].shape[0] == 8
+
+    step_fn = step_lib.make_train_step(cfg, mesh=mesh, mode="shard_map")
+    state, metrics = step_fn(state, global_batch)
+    print(json.dumps({"pid": pid,
+                      "loss": float(metrics["loss/total"]),
+                      "l1": float(metrics["loss/l1"])}), flush=True)
+    jax.distributed.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -135,3 +135,26 @@ def test_subsampling_shard_map_matches_auto():
 
     np.testing.assert_allclose(float(m_sm["loss/total"]),
                                float(m_auto["loss/total"]), rtol=2e-5)
+
+
+def test_make_batch_fn_slices_per_process(monkeypatch):
+    """Non-streaming multihost: each process must materialize only ITS
+    contiguous slice of the global batch (round-2 fix — every process built
+    the full global batch, which make_array_from_process_local_data would
+    then mis-assemble)."""
+    from dynamic_multiview_3d_tpu.train import loop as loop_lib
+    cfg = _cfg()
+    src = SyntheticScenes(num_scenes=2, image_size=32, seq_len=1,
+                          num_targets=1)
+    full = loop_lib._make_batch_fn(cfg, src)(3)     # 1-process: whole batch
+    assert full["image_seq"].shape[0] == 8
+
+    slices = []
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    for pidx in (0, 1):
+        monkeypatch.setattr(jax, "process_index", lambda p=pidx: p)
+        part = loop_lib._make_batch_fn(cfg, src)(3)
+        assert part["image_seq"].shape[0] == 4
+        slices.append(part)
+    glued = np.concatenate([slices[0]["image_seq"], slices[1]["image_seq"]])
+    np.testing.assert_array_equal(glued, np.asarray(full["image_seq"]))
