@@ -138,30 +138,58 @@ def bench_c4():
 
 
 def bench_c5():
-    """Streamed video decode + packing goodput (BASELINE.json:11 input side)
-    + 256² train-step rate per chip."""
+    """Config-5 end to end (BASELINE.json:11): streamed 256² input goodput
+    (png decode AND decode-free packed banks), the compute-only 256² train
+    step rate per chip, and the host-feeding arithmetic for a v5e-32
+    (4 chips/host)."""
     import tempfile
     from dynamic_multiview_3d_tpu.data import frames as frames_lib
+    from dynamic_multiview_3d_tpu.train import losses as losses_lib
+    import optax
 
-    root = os.path.join(tempfile.gettempdir(), "dmv3d_bench_frames")
-    if not os.path.isdir(root):
-        frames_lib.export_synthetic(root, num_scenes=4, image_size=256,
-                                    num_views=6, seq_len=4)
-    dcfg = config_lib.DataConfig(source="frames", root=root, image_size=256,
-                                 seq_len=4, num_targets=2)
-    ds = frames_lib.FrameFolderScenes(dcfg)
-    n = 16
-    t0 = time.perf_counter()
-    batch = ds.batch(range(n))
-    dt = time.perf_counter() - t0
-    frames_decoded = n * (dcfg.seq_len + dcfg.num_targets)
-    result = {"config": "c5_input256",
-              "decoded_frames_per_sec_per_host": round(frames_decoded / dt, 1),
-              "examples_per_sec_per_host": round(n / dt, 2)}
+    result = {"config": "c5_multihost256"}
 
+    # --- input goodput, both on-disk encodings (Grain, per-host) ---------
+    from benchmarks import input_bench
+    for fmt in ("png", "packed"):
+        root = os.path.join(tempfile.gettempdir(), f"dmv3d_bench_{fmt}")
+        if not os.path.isdir(root):
+            frames_lib.export_synthetic(root, num_scenes=8, image_size=256,
+                                        num_views=8, seq_len=4, fmt=fmt)
+        r = input_bench.measure(root, workers=0)
+        result[f"input_{fmt}_examples_per_sec_per_host"] = \
+            r["examples_per_sec_per_host"]
+
+    # --- compute-only 256² train step, per-chip slice of the c5 batch ----
     cfg = config_lib.get_config("c5")
-    fwd = _forward_metric(cfg, b=2, t=4, k=2, metric_name="c5_fwd256")
-    result["fwd256_views_per_sec"] = fwd["views_per_sec"]
+    m = cfg.model
+    b, t, k = 4, 4, 2                      # global 128 over 32 chips
+    module = DMV3D(m)
+    seq, src, tgt = _random_inputs(m, b, t, k)
+    tgt_img = jnp.zeros((b, k, m.image_size, m.image_size, 3))
+    params = jax.jit(module.init)(jax.random.key(0), seq, src, tgt)["params"]
+    tx = optax.adam(1e-4)
+    opt_state = jax.jit(tx.init)(params)
+
+    def body(acc):
+        def loss_fn(p):
+            out = module.apply({"params": p}, seq + acc * 1e-9, src, tgt)
+            loss, _ = losses_lib.total_loss(
+                out, {"tgt_images": tgt_img}, cfg.train)
+            return loss
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, _ = tx.update(grads, opt_state, params)
+        newp = optax.apply_updates(params, updates)
+        return loss + jax.tree.leaves(newp)[0].ravel()[0] * 1e-9
+
+    dt = _loop_time(body, n_iters=6)
+    steps = 1 / dt
+    result["train256_steps_per_sec_per_chip_compute"] = round(steps, 2)
+    demand = steps * b * 4                 # 4 chips per v5e-32 host
+    result["demand_examples_per_sec_per_host_v5e32"] = round(demand, 1)
+    for fmt in ("png", "packed"):
+        supply = result[f"input_{fmt}_examples_per_sec_per_host"]
+        result[f"hosts_per_4chips_needed_{fmt}"] = round(demand / supply, 2)
     return result
 
 

@@ -28,10 +28,27 @@ def main(argv=None) -> None:
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--eval-seed", type=int, default=10_000,
                    help="offset into the index space, past training data")
+    p.add_argument("--holdout-scenes", type=int, default=0,
+                   help="evaluate on N procedural scenes DISJOINT from the "
+                        "training bank (scene ids offset past "
+                        "data.num_scenes) — the scene-held-out protocol. "
+                        "0 keeps the legacy held-out-pose-index protocol.")
+    p.add_argument("--data-root", default=None,
+                   help="override data.root (eval a frames dataset, e.g. "
+                        "one exported with --scene-offset)")
     args = p.parse_args(argv)
 
     model = Model.from_checkpoint(args.ckpt)
-    src = pipeline_lib.make_source(model.cfg.data)
+    import dataclasses
+    dcfg = model.cfg.data
+    if args.data_root:
+        dcfg = dataclasses.replace(dcfg, root=args.data_root)
+    if args.holdout_scenes:
+        # unseen scene geometry: ids start past the training scene bank
+        dcfg = dataclasses.replace(
+            dcfg, scene_offset=dcfg.scene_offset + dcfg.num_scenes,
+            num_scenes=args.holdout_scenes)
+    src = pipeline_lib.make_source(dcfg)
 
     psnrs, ssims = [], []
     fwd = jax.jit(lambda pr, b: model.module.apply(
@@ -44,7 +61,9 @@ def main(argv=None) -> None:
         ssims.append(float(metrics_lib.ssim(views, batch["tgt_images"])))
     result = {"psnr": float(np.mean(psnrs)), "ssim": float(np.mean(ssims)),
               "num_views": args.num_batches * args.batch_size
-              * model.cfg.data.num_targets}
+              * model.cfg.data.num_targets,
+              "protocol": ("scene-holdout" if args.holdout_scenes
+                           else "pose-holdout")}
     print(json.dumps(result))
 
 

@@ -51,6 +51,8 @@ class DataConfig:
     num_targets: int = 1             # K: novel views per example
     batch_size: int = 16             # GLOBAL batch (split over the data mesh axis)
     num_scenes: int = 512            # synthetic: distinct procedural scenes
+    scene_offset: int = 0            # synthetic: shift scene ids (disjoint
+                                     # offsets = held-out-scene eval splits)
     dynamic: bool = False            # synthetic: objects move over the sequence
     seed: int = 0
     grain_workers: int = 4           # host-side decode worker count

@@ -11,6 +11,14 @@ workers):
         v000_t000.png      # frame for view v at time t
         ...
 
+Two frame encodings per scene:
+- PNG files (the reference-parity "video decode" path: real image decode
+  work in Grain workers), or
+- ``frames.npy`` — one uint8 [V, T, H, W, 3] array, memory-mapped at read
+  time (the production fast path: decode-free, page-cache backed; a single
+  host core feeds an order of magnitude more pixels/s than PNG decode).
+  ``export_synthetic(fmt="packed")`` writes it; readers auto-detect.
+
 ``example(index)`` samples a source camera trajectory + K target views at
 the final timestep — the same contract as SyntheticScenes, so the train
 loop / Grain pipeline are source-agnostic. ``export_synthetic`` materializes
@@ -46,6 +54,7 @@ class FrameFolderScenes:
         if not self.scenes:
             raise FileNotFoundError(f"no scene_* dirs under {cfg.root}")
         self._meta_cache: dict[str, dict] = {}
+        self._pack_cache: dict[str, np.ndarray] = {}
 
     def _meta(self, scene: str) -> dict:
         if scene not in self._meta_cache:
@@ -53,10 +62,22 @@ class FrameFolderScenes:
                 meta = json.load(f)
             meta["poses"] = np.load(
                 os.path.join(self.cfg.root, scene, "poses.npy"))
+            meta["packed"] = os.path.exists(
+                os.path.join(self.cfg.root, scene, "frames.npy"))
             self._meta_cache[scene] = meta
         return self._meta_cache[scene]
 
+    def _packed(self, scene: str) -> np.ndarray:
+        """Memory-mapped [V, T, H, W, 3] uint8 frame bank for the scene."""
+        if scene not in self._pack_cache:
+            self._pack_cache[scene] = np.load(
+                os.path.join(self.cfg.root, scene, "frames.npy"),
+                mmap_mode="r")
+        return self._pack_cache[scene]
+
     def _read_frame(self, scene: str, view: int, t: int) -> np.ndarray:
+        if self._meta(scene)["packed"]:
+            return np.asarray(self._packed(scene)[view, t])
         import imageio.v2 as imageio
         path = os.path.join(self.cfg.root, scene,
                             f"v{view:03d}_t{t:03d}.png")
@@ -115,15 +136,22 @@ class FrameFolderScenes:
 
 def export_synthetic(root: str, num_scenes: int = 8, image_size: int = 128,
                      num_views: int = 12, seq_len: int = 4,
-                     dynamic: bool = True, seed: int = 0) -> str:
-    """Materialize synthetic scenes as a frame-folder dataset on disk."""
-    import imageio.v2 as imageio
+                     dynamic: bool = True, seed: int = 0,
+                     fmt: str = "png", scene_offset: int = 0) -> str:
+    """Materialize synthetic scenes as a frame-folder dataset on disk.
 
-    src = SyntheticScenes(num_scenes=num_scenes, image_size=image_size,
-                          dynamic=dynamic, seed=seed)
+    fmt="png": one PNG per frame (exercises real decode work — the
+    reference's video-decode stage). fmt="packed": one memory-mappable
+    ``frames.npy`` uint8 bank per scene (decode-free production path).
+    scene_offset shifts the procedural scene ids — disjoint offsets give
+    disjoint scene geometry (held-out-scene evaluation splits).
+    """
+    src = SyntheticScenes(num_scenes=scene_offset + num_scenes,
+                          image_size=image_size, dynamic=dynamic, seed=seed)
     rng = np.random.default_rng(seed)
     os.makedirs(root, exist_ok=True)
-    for sid in range(num_scenes):
+    for i in range(num_scenes):
+        sid = scene_offset + i
         sdir = os.path.join(root, f"scene_{sid:05d}")
         os.makedirs(sdir, exist_ok=True)
         poses = src.sample_poses(rng, num_views)
@@ -131,9 +159,17 @@ def export_synthetic(root: str, num_scenes: int = 8, image_size: int = 128,
         with open(os.path.join(sdir, "meta.json"), "w") as f:
             json.dump({"num_views": num_views, "seq_len": seq_len,
                        "dynamic": dynamic}, f)
-        for v in range(num_views):
-            for t in range(seq_len):
-                img = src.render(sid, poses[v], time=float(t))
-                imageio.imwrite(
-                    os.path.join(sdir, f"v{v:03d}_t{t:03d}.png"), img)
+        if fmt == "packed":
+            bank = np.stack([
+                np.stack([src.render(sid, poses[v], time=float(t))
+                          for t in range(seq_len)])
+                for v in range(num_views)])          # [V, T, H, W, 3] u8
+            np.save(os.path.join(sdir, "frames.npy"), bank)
+        else:
+            import imageio.v2 as imageio
+            for v in range(num_views):
+                for t in range(seq_len):
+                    img = src.render(sid, poses[v], time=float(t))
+                    imageio.imwrite(
+                        os.path.join(sdir, f"v{v:03d}_t{t:03d}.png"), img)
     return root

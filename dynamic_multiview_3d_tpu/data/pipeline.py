@@ -56,7 +56,8 @@ def make_source(cfg: DataConfig):
         return SyntheticScenes(
             num_scenes=cfg.num_scenes, image_size=cfg.image_size,
             seq_len=cfg.seq_len, num_targets=cfg.num_targets,
-            dynamic=cfg.dynamic, seed=cfg.seed)
+            dynamic=cfg.dynamic, seed=cfg.seed,
+            scene_offset=cfg.scene_offset)
     if cfg.source == "frames":
         from dynamic_multiview_3d_tpu.data.frames import FrameFolderScenes
         return FrameFolderScenes(cfg)

@@ -69,7 +69,7 @@ class SyntheticScenes:
 
     def __init__(self, num_scenes: int = 512, image_size: int = 128,
                  seq_len: int = 1, num_targets: int = 1, dynamic: bool = False,
-                 seed: int = 0, radius: float = 2.0):
+                 seed: int = 0, radius: float = 2.0, scene_offset: int = 0):
         if not _HAS_CV2:
             raise RuntimeError("opencv required for the synthetic renderer")
         self.num_scenes = num_scenes
@@ -79,6 +79,10 @@ class SyntheticScenes:
         self.dynamic = dynamic
         self.seed = seed
         self.radius = radius
+        # scene_offset shifts the procedural scene-id range: disjoint
+        # offsets give geometrically disjoint scene banks (the held-out-
+        # SCENE evaluation split — not merely held-out view indices).
+        self.scene_offset = scene_offset
         self.focal = float(image_size)
         self.c = (image_size - 1) / 2.0
 
@@ -155,7 +159,7 @@ class SyntheticScenes:
         inside the jitted train step (data.pipeline.preprocess), quartering
         host->device transfer vs float32.
         """
-        scene_id = index % self.num_scenes
+        scene_id = self.scene_offset + index % self.num_scenes
         rng = np.random.default_rng(
             np.random.SeedSequence([self.seed + 1, int(index)]))
         t_len, k = self.seq_len, self.num_targets

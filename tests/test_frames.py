@@ -80,3 +80,37 @@ def test_native_degenerate_one_pixel_input(rng):
     ref = row[0, 0].astype(np.float32) / 127.5 - 1.0
     for y in range(3):
         np.testing.assert_allclose(out_row[0, y], ref, atol=1e-6)
+
+
+def test_packed_format_matches_png(tmp_path):
+    """fmt='packed' (memory-mapped uint8 banks) yields identical examples
+    to the PNG-decode path — same scenes, same sampling."""
+    from dynamic_multiview_3d_tpu.data.frames import (FrameFolderScenes,
+                                                      export_synthetic)
+    from dynamic_multiview_3d_tpu.config import DataConfig
+    kw = dict(num_scenes=2, image_size=32, num_views=3, seq_len=2,
+              dynamic=True, seed=3)
+    export_synthetic(str(tmp_path / "png"), fmt="png", **kw)
+    export_synthetic(str(tmp_path / "packed"), fmt="packed", **kw)
+    dc = lambda root: DataConfig(source="frames", root=root, image_size=32,
+                                 seq_len=2, num_targets=2, seed=3)
+    a = FrameFolderScenes(dc(str(tmp_path / "png")))
+    b = FrameFolderScenes(dc(str(tmp_path / "packed")))
+    ea, eb = a.example(5, raw=True), b.example(5, raw=True)
+    for key in ea:
+        np.testing.assert_array_equal(ea[key], eb[key])
+
+
+def test_scene_offset_gives_disjoint_scenes(tmp_path):
+    from dynamic_multiview_3d_tpu.data.frames import export_synthetic
+    export_synthetic(str(tmp_path / "d"), num_scenes=1, image_size=32,
+                     num_views=2, seq_len=1, fmt="packed", seed=0)
+    export_synthetic(str(tmp_path / "d"), num_scenes=1, image_size=32,
+                     num_views=2, seq_len=1, fmt="packed", seed=0,
+                     scene_offset=1)
+    import os
+    dirs = sorted(os.listdir(tmp_path / "d"))
+    assert dirs == ["scene_00000", "scene_00001"]
+    b0 = np.load(tmp_path / "d" / "scene_00000" / "frames.npy")
+    b1 = np.load(tmp_path / "d" / "scene_00001" / "frames.npy")
+    assert not np.array_equal(b0, b1)   # different procedural geometry
