@@ -134,6 +134,7 @@ def test_train_loop_runs_and_checkpoints(tmp_path):
     assert mgr.latest_step() == 3
 
 
+@pytest.mark.slow
 def test_fault_injection_and_exact_resume(tmp_path):
     """Kill training mid-run; resuming must replay to the identical state
     (same params bit pattern) as an uninterrupted run (SURVEY.md §5)."""
@@ -219,6 +220,7 @@ def test_on_device_target_subsampling(tmp_path):
     assert np.isfinite(float(m["loss/total"]))
 
 
+@pytest.mark.slow
 def test_streaming_grain_training_with_state_checkpoint(tmp_path):
     """Streaming mode: batches from the Grain iterator; iterator state is
     saved beside the Orbax step and restored on resume (SURVEY.md §5)."""
