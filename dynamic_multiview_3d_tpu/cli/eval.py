@@ -36,6 +36,12 @@ def main(argv=None) -> None:
     p.add_argument("--data-root", default=None,
                    help="override data.root (eval a frames dataset, e.g. "
                         "one exported with --scene-offset)")
+    p.add_argument("--protocol", default=None,
+                   choices=("pose-holdout", "scene-holdout"),
+                   help="label for the reported protocol — set "
+                        "scene-holdout when --data-root points at a "
+                        "scene-disjoint export (the label cannot be "
+                        "inferred from the root alone)")
     args = p.parse_args(argv)
 
     model = Model.from_checkpoint(args.ckpt)
@@ -62,8 +68,9 @@ def main(argv=None) -> None:
     result = {"psnr": float(np.mean(psnrs)), "ssim": float(np.mean(ssims)),
               "num_views": args.num_batches * args.batch_size
               * model.cfg.data.num_targets,
-              "protocol": ("scene-holdout" if args.holdout_scenes
-                           else "pose-holdout")}
+              "protocol": args.protocol or ("scene-holdout"
+                                            if args.holdout_scenes
+                                            else "pose-holdout")}
     print(json.dumps(result))
 
 

@@ -158,17 +158,23 @@ class Decoder(nn.Module):
                                   name=f"fuse{i}_norm")(x)
             x = nn.relu(x)
 
-        # Heads in f32: flow feeds bilinear sampling, mask feeds compositing.
-        xf = x.astype(jnp.float32)
-        h3 = nn.Conv(6, (3, 3), padding="SAME", dtype=jnp.float32,
-                     name="heads")(xf)
+        # Heads: ONE conv over the full-res features, nonlinearities in f32
+        # on the small 6-ch output. heads_dtype=bfloat16 (default) keeps the
+        # wide input in bf16 — the f32 materialization of the full-res
+        # feature map was an HBM-roofline op in the round-2 trace; MXU
+        # accumulation is f32 either way, so only head-weight rounding
+        # (~0.4% relative) differs from the float32 setting.
+        dth = jnp.dtype(cfg.heads_compute_dtype)
+        xf = x.astype(dth)
+        h3 = nn.Conv(6, (3, 3), padding="SAME", dtype=dth,
+                     name="heads")(xf).astype(jnp.float32)
         flow = jnp.tanh(h3[..., 0:2]) * (cfg.max_flow * cfg.image_size)
         mask = nn.sigmoid(h3[..., 2:3])
         rgb = jnp.tanh(h3[..., 3:6])
         out = {"flow": flow, "mask": mask, "rgb": rgb}
         if cfg.predict_depth:
-            raw = nn.Conv(1, (3, 3), padding="SAME", dtype=jnp.float32,
-                          name="depth_head")(xf)
+            raw = nn.Conv(1, (3, 3), padding="SAME", dtype=dth,
+                          name="depth_head")(xf).astype(jnp.float32)
             out["depth"] = nn.softplus(raw)[..., 0] + 0.1
         return out
 

@@ -32,15 +32,36 @@ class TrainState(flax_train_state.TrainState):
     pass
 
 
+def make_lr(cfg: Config):
+    """Learning-rate schedule (the reference's Adam trainer exposed lr as a
+    flag, SURVEY.md R15; decay is the standard extension). Returns a float
+    for "constant" (keeps optimizer state schedule-free) else an optax
+    schedule over train.num_steps with optional linear warmup."""
+    t = cfg.train
+    if t.lr_schedule == "constant":
+        return t.lr
+    if t.lr_schedule == "cosine":
+        decay = optax.cosine_decay_schedule(
+            t.lr, decay_steps=max(t.num_steps - t.warmup_steps, 1),
+            alpha=t.lr_final / t.lr if t.lr else 0.0)
+        if t.warmup_steps:
+            return optax.join_schedules(
+                [optax.linear_schedule(0.0, t.lr, t.warmup_steps), decay],
+                boundaries=[t.warmup_steps])
+        return decay
+    raise ValueError(f"unknown lr_schedule: {t.lr_schedule}")
+
+
 def make_optimizer(cfg: Config) -> optax.GradientTransformation:
     t = cfg.train
+    lr = make_lr(cfg)
     if t.optimizer == "sgd":
-        return optax.sgd(t.lr)
+        return optax.sgd(lr)
     if t.optimizer == "adamw" or (t.optimizer == "adam" and t.weight_decay > 0):
-        return optax.adamw(t.lr, b1=t.beta1, b2=t.beta2,
+        return optax.adamw(lr, b1=t.beta1, b2=t.beta2,
                            weight_decay=t.weight_decay)
     if t.optimizer == "adam":
-        return optax.adam(t.lr, b1=t.beta1, b2=t.beta2)
+        return optax.adam(lr, b1=t.beta1, b2=t.beta2)
     raise ValueError(f"unknown optimizer: {t.optimizer}")
 
 

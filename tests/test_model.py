@@ -146,6 +146,19 @@ def test_bf16_compute_path(rng):
                for p in jax.tree.leaves(variables["params"]))
 
 
+def test_heads_dtype_follows_model_dtype():
+    """heads_dtype='' resolves to model.dtype; explicit values win. Keeps
+    f32 presets (c1, goldens) bit-stable while bf16 models get the
+    HBM-cheap bf16 head convs (BASELINE.md round-2 roofline)."""
+    from dynamic_multiview_3d_tpu import config as config_lib
+    assert config_lib.ModelConfig().heads_compute_dtype == "bfloat16"
+    assert config_lib.ModelConfig(dtype="float32").heads_compute_dtype == \
+        "float32"
+    assert config_lib.ModelConfig(
+        dtype="float32", heads_dtype="bfloat16").heads_compute_dtype == \
+        "bfloat16"
+
+
 def test_convlstm_recurrence(rng):
     cfg = _cfg(rnn="lstm")
     model = DMV3D(cfg)

@@ -297,3 +297,22 @@ def test_ssim_matches_torch_reference(rng):
     ref = torch_ssim(torch.from_numpy(a).permute(0, 3, 1, 2).double(),
                      torch.from_numpy(b).permute(0, 3, 1, 2).double())
     np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_lr_schedule_cosine_with_warmup():
+    """make_lr: linear warmup to peak, cosine decay to lr_final over
+    num_steps (SURVEY.md R15 — the Adam trainer's lr flag, extended)."""
+    cfg = config_lib.override(config_lib.Config(), [
+        "train.lr=1e-3", "train.lr_schedule=cosine", "train.warmup_steps=10",
+        "train.lr_final=1e-5", "train.num_steps=110",
+    ])
+    sched = step_lib.make_lr(cfg)
+    assert float(sched(0)) == 0.0
+    assert abs(float(sched(10)) - 1e-3) < 1e-9          # peak after warmup
+    assert abs(float(sched(110)) - 1e-5) < 1e-7          # cosine floor
+    assert float(sched(60)) < 1e-3                       # strictly decaying
+    # constant stays a plain float (schedule-free optimizer state)
+    assert step_lib.make_lr(config_lib.Config()) == 2e-4
+    with pytest.raises(ValueError):
+        step_lib.make_lr(config_lib.override(
+            config_lib.Config(), ["train.lr_schedule=nope"]))
