@@ -79,6 +79,13 @@ class DataConfig:
     targets_per_step: int = 0        # >0: subsample K targets on device with
                                      # jax.random.fold_in(step) (view-pair
                                      # sampling inside the jitted step)
+    device_resident: str = "auto"    # "auto" | "on" | "off": keep the packed
+                                     # uint8 frame banks in HBM and send only
+                                     # int32 indices per step (data/resident.py
+                                     # — kills per-step H2D traffic; auto = on
+                                     # when packed + single-process + it fits
+                                     # resident_budget_mb)
+    resident_budget_mb: int = 4096   # HBM budget for device-resident banks
 
 
 @dataclasses.dataclass(frozen=True)

@@ -92,20 +92,32 @@ class FrameFolderScenes:
             cv2.resize(f, (s, s), interpolation=cv2.INTER_LINEAR)
             for f in frames])
 
-    def example(self, index: int, raw: bool = False) -> dict:
+    def sample_indices(self, index: int) -> tuple[int, int, np.ndarray, int]:
+        """Deterministic draw for example ``index``:
+        (scene_i, src_view, tgt_views[K], t0). Shared by the host decode
+        path (example) and the HBM-resident gather path (data.resident) so
+        both produce the identical training stream."""
         cfg = self.cfg
-        scene = self.scenes[index % len(self.scenes)]
-        meta = self._meta(scene)
-        poses = meta["poses"]
+        scene_i = index % len(self.scenes)
+        meta = self._meta(self.scenes[scene_i])
         v_avail, t_avail = meta["num_views"], meta["seq_len"]
         rng = np.random.default_rng(
             np.random.SeedSequence([cfg.seed + 7, int(index)]))
-
         t_len = min(cfg.seq_len, t_avail)
         k = cfg.num_targets
         src_view = int(rng.integers(v_avail))
         tgt_views = rng.choice(v_avail, size=k, replace=(v_avail < k))
         t0 = int(rng.integers(t_avail - t_len + 1))
+        return scene_i, src_view, tgt_views, t0
+
+    def example(self, index: int, raw: bool = False) -> dict:
+        cfg = self.cfg
+        scene_i, src_view, tgt_views, t0 = self.sample_indices(index)
+        scene = self.scenes[scene_i]
+        meta = self._meta(scene)
+        poses = meta["poses"]
+        t_avail = meta["seq_len"]
+        t_len = min(cfg.seq_len, t_avail)
 
         frames = np.stack([
             self._read_frame(scene, src_view, t0 + t) for t in range(t_len)])

@@ -1,0 +1,139 @@
+"""HBM-resident dataset mode (T1, TPU-first input pipeline).
+
+The packed uint8 frame banks live ON DEVICE for the whole run: they are
+uploaded once at startup, and the per-step host->device traffic is a few
+hundred bytes of int32 indices instead of megabytes of pixels. The gather
+(frames[scene, view, t]) runs inside the jitted train step and XLA fuses it
+with the uint8->float normalize (pipeline.preprocess).
+
+Why this exists (two independent reasons, both measured — BASELINE.md):
+
+1. Throughput: removes the per-step H2D transfer from the critical path
+   entirely. Through this sandbox's ~25 MB/s relay link that transfer was
+   the training bottleneck (c2-shape batches cap at ~11 steps/s); on real
+   hosts it still frees PCIe/DMA bandwidth and host RAM page traffic.
+2. Robustness: the axon relay plugin on this machine leaks every
+   host->device transfer buffer host-side (~batch bytes per step, ~2.3 MB
+   at c2 shapes — an 80k-step run OOM-killed a 128 GB host; verified with
+   a device_put microbench: u8 196 KB array -> 196 KB leaked per call,
+   zero leak with the plugin off the path). Shipping only indices bounds
+   the leak to KB/step regardless of the plugin.
+
+Semantics parity: sampling reuses FrameFolderScenes.sample_indices, so the
+resident stream is example-for-example identical to the host decode path
+(asserted in tests/test_data.py).
+
+Reference parity note: the reference kept its dataset in host RAM and fed
+slices via feed_dict (SURVEY.md R5); the TPU-native equivalent of "the
+dataset is already where the compute is" is HBM residency.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from dynamic_multiview_3d_tpu.config import DataConfig
+
+
+def fits_budget(source, cfg: DataConfig) -> bool:
+    """True when every scene is packed, uniform, and the stacked bank fits
+    cfg.resident_budget_mb."""
+    try:
+        metas = [source._meta(s) for s in source.scenes]
+    except Exception:
+        return False
+    if not all(m.get("packed") for m in metas):
+        return False
+    v0, t0 = metas[0]["num_views"], metas[0]["seq_len"]
+    if not all(m["num_views"] == v0 and m["seq_len"] == t0 for m in metas):
+        return False
+    s = cfg.image_size
+    total = len(source.scenes) * v0 * t0 * s * s * 3
+    return total <= cfg.resident_budget_mb * 1024 * 1024
+
+
+class ResidentFrames:
+    """Device-resident view of a packed FrameFolderScenes dataset.
+
+    ``index_batch(step)`` -> tiny int32 arrays (the only per-step H2D);
+    ``gather(frames, poses, idx)`` -> the standard batch dict, traced
+    inside the jitted step against the resident banks.
+    """
+
+    def __init__(self, source, cfg: DataConfig, sharding=None):
+        import jax
+
+        self.cfg = cfg
+        self.source = source
+        metas = [source._meta(s) for s in source.scenes]
+        self.num_views = metas[0]["num_views"]
+        self.t_avail = metas[0]["seq_len"]
+        self.t_len = min(cfg.seq_len, self.t_avail)
+        s = cfg.image_size
+
+        banks = []
+        for scene in source.scenes:
+            bank = np.asarray(source._packed(scene))      # [V, T, H, W, 3] u8
+            if bank.shape[2:4] != (s, s):
+                v, t = bank.shape[:2]
+                bank = source._resize_u8(
+                    bank.reshape(v * t, *bank.shape[2:])).reshape(
+                        v, t, s, s, 3)
+            banks.append(bank)
+        frames = np.stack(banks)                          # [S, V, T, H, W, 3]
+        poses = np.stack([m["poses"][: self.num_views] for m in metas]
+                         ).astype(np.float32)             # [S, V, P]
+        self.num_scenes = frames.shape[0]
+        # flat row tables make the in-step gather a single take() each
+        frames_host = frames.reshape(-1, s, s, 3)         # [S*V*T, H, W, 3]
+        poses_host = poses.reshape(-1, poses.shape[-1])
+        self.nbytes = frames_host.nbytes
+        if sharding is not None:
+            self.frames = jax.device_put(frames_host, sharding)
+            self.poses = jax.device_put(poses_host, sharding)
+        else:
+            self.frames = jax.device_put(frames_host)
+            self.poses = jax.device_put(poses_host)
+        del frames, banks, frames_host   # host copies are dead after upload
+
+    def _flat(self, scene_i: int, view, t) -> np.ndarray:
+        return (np.asarray(scene_i) * self.num_views
+                + np.asarray(view)) * self.t_avail + np.asarray(t)
+
+    def index_batch(self, indices) -> dict:
+        """Host side: the same draws as FrameFolderScenes.example, reduced
+        to flat row indices. ~16 bytes/example instead of the pixels."""
+        seq_idx, tgt_idx, src_pose_idx, tgt_pose_idx = [], [], [], []
+        for index in indices:
+            scene_i, src_view, tgt_views, t0 = \
+                self.source.sample_indices(int(index))
+            ts = t0 + np.arange(self.t_len)
+            seq_idx.append(self._flat(scene_i, src_view, ts))
+            tgt_idx.append(self._flat(scene_i, tgt_views,
+                                      t0 + self.t_len - 1))
+            src_pose_idx.append(scene_i * self.num_views + src_view)
+            tgt_pose_idx.append(scene_i * self.num_views + tgt_views)
+        return {
+            "seq_idx": np.asarray(seq_idx, np.int32),          # [B, T]
+            "tgt_idx": np.asarray(tgt_idx, np.int32),          # [B, K]
+            "src_pose_idx": np.asarray(src_pose_idx, np.int32),  # [B]
+            "tgt_pose_idx": np.asarray(tgt_pose_idx, np.int32),  # [B, K]
+        }
+
+    @staticmethod
+    def gather(frames, poses, idx: dict) -> dict:
+        """Traced inside the jitted step: resident rows -> standard batch.
+
+        Returns uint8 images (pipeline.preprocess normalizes in-step, same
+        as the host uint8 path)."""
+        import jax.numpy as jnp
+
+        seq = jnp.take(frames, idx["seq_idx"], axis=0)     # [B, T, H, W, 3]
+        tgt = jnp.take(frames, idx["tgt_idx"], axis=0)     # [B, K, H, W, 3]
+        src_pose = jnp.take(poses, idx["src_pose_idx"], axis=0)   # [B, P]
+        tgt_poses = jnp.take(poses, idx["tgt_pose_idx"], axis=0)  # [B, K, P]
+        b, t = idx["seq_idx"].shape
+        src_poses = jnp.broadcast_to(src_pose[:, None, :],
+                                     (b, t, src_pose.shape[-1]))
+        return {"image_seq": seq, "src_poses": src_poses,
+                "tgt_poses": tgt_poses, "tgt_images": tgt}

@@ -60,6 +60,7 @@ def train(cfg: config_lib.Config, *, writer: metrics_lib.MetricsWriter | None
 
     from dynamic_multiview_3d_tpu.data import pipeline as pipeline_lib
     grain_iter = None
+    resident = None
     if cfg.data.streaming:
         # Grain streaming: worker-process decode + prefetch; iterator state
         # rides with checkpoints for exact resume.
@@ -69,7 +70,8 @@ def train(cfg: config_lib.Config, *, writer: metrics_lib.MetricsWriter | None
     else:
         if data_source is None:
             data_source = pipeline_lib.make_source(cfg.data)
-        batch_for_step = _make_batch_fn(cfg, data_source)
+        resident = _maybe_resident(cfg, data_source, mesh)
+        batch_for_step = _make_batch_fn(cfg, data_source, resident=resident)
 
     state = step_lib.init_state(cfg)
     mgr = ckpt_lib.make_manager(cfg.train.ckpt_dir, cfg.train.max_to_keep,
@@ -83,7 +85,8 @@ def train(cfg: config_lib.Config, *, writer: metrics_lib.MetricsWriter | None
             _restore_grain_state(cfg.train.ckpt_dir, start_step, grain_iter)
 
     state = jax.device_put(state, mesh_lib.replicate(mesh))
-    step_fn = step_lib.make_train_step(cfg, mesh=mesh, mode=parallel_mode)
+    step_fn = step_lib.make_train_step(cfg, mesh=mesh, mode=parallel_mode,
+                                       resident=resident)
     render_fn = None          # jitted once, reused for every image summary
     preview_batch = None      # first host batch, kept for summaries (never
                               # consumes extra items from a streaming iterator)
@@ -95,8 +98,11 @@ def train(cfg: config_lib.Config, *, writer: metrics_lib.MetricsWriter | None
             jax.profiler.start_trace(profile_dir)
         host_batch = batch_for_step(step)
         if preview_batch is None:
-            preview_batch = {k: np.asarray(v[:2]) for k, v in
-                             host_batch.items()}
+            if resident is not None:   # host pixels for summaries only
+                pv = data_source.batch(range(2), raw=True)
+            else:
+                pv = host_batch
+            preview_batch = {k: np.asarray(v[:2]) for k, v in pv.items()}
         batch = mesh_lib.shard_batch(mesh, host_batch)
         state, metrics = step_fn(state, batch)
         if profile_dir and step + 1 == profile_steps[1]:
@@ -124,6 +130,7 @@ def train(cfg: config_lib.Config, *, writer: metrics_lib.MetricsWriter | None
             now = time.perf_counter()
             denom = cfg.train.log_every if step != start_step else 1
             metrics["steps_per_sec"] = denom / max(now - t_last, 1e-9)
+            metrics["host_rss_mb"] = _host_rss_mb()
             t_last = now
             last_metrics = metrics
             if writer is not None:
@@ -140,6 +147,22 @@ def train(cfg: config_lib.Config, *, writer: metrics_lib.MetricsWriter | None
                             jax.device_get(state.params), cfg,
                             int(np.asarray(state.step)))
     return state, last_metrics
+
+
+def _host_rss_mb() -> float:
+    """Trainer-process resident memory, logged with every metrics line.
+
+    Observability for host-side input/transfer leaks: this machine's TPU
+    relay plugin leaks every host->device buffer (BASELINE.md), which is
+    invisible in device metrics — a linear climb here is the tell."""
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS"):
+                    return float(line.split()[1]) / 1024.0
+    except OSError:
+        pass
+    return 0.0
 
 
 def _grain_state_path(ckpt_dir: str, step: int) -> str:
@@ -184,7 +207,27 @@ def _write_image_summaries(render_fn, writer, state, batch, step):
     writer.write_images(step, "pred_vs_target", to_uint8(grid))
 
 
-def _make_batch_fn(cfg: config_lib.Config, data_source):
+def _maybe_resident(cfg: config_lib.Config, data_source, mesh):
+    """Build the HBM-resident dataset when configured/eligible
+    (data/resident.py — auto requires: frames source, packed banks,
+    single process, fits data.resident_budget_mb)."""
+    from dynamic_multiview_3d_tpu.data import resident as resident_lib
+    mode = cfg.data.device_resident
+    if mode == "off":
+        return None
+    eligible = (cfg.data.source == "frames" and jax.process_count() == 1
+                and resident_lib.fits_budget(data_source, cfg.data))
+    if mode == "on" and not eligible:
+        raise ValueError(
+            "data.device_resident=on needs a packed single-process frames "
+            "dataset within data.resident_budget_mb")
+    if not eligible:
+        return None
+    return resident_lib.ResidentFrames(data_source, cfg.data,
+                                       sharding=mesh_lib.replicate(mesh))
+
+
+def _make_batch_fn(cfg: config_lib.Config, data_source, resident=None):
     """Deterministic step -> THIS PROCESS's slice of the global batch
     (resume == replay). Each process materializes only its contiguous
     local rows; mesh_lib.shard_batch assembles the global array from the
@@ -192,7 +235,9 @@ def _make_batch_fn(cfg: config_lib.Config, data_source):
     this is simply the whole batch.
 
     With device_preprocess, images stay uint8 on the host and are
-    normalized inside the jitted step (data.pipeline.preprocess)."""
+    normalized inside the jitted step (data.pipeline.preprocess). With a
+    resident dataset the host emits only int32 row indices — the identical
+    example stream (same sample_indices draws), ~KB instead of MB per step."""
     import inspect
     bsz = cfg.data.batch_size
     pcnt = jax.process_count()
@@ -204,6 +249,8 @@ def _make_batch_fn(cfg: config_lib.Config, data_source):
     def batch_for_step(step: int) -> dict:
         lo = step * bsz + lo_off
         idx = range(lo, lo + local)
+        if resident is not None:
+            return resident.index_batch(idx)
         if has_raw:
             return data_source.batch(idx, raw=raw)
         return data_source.batch(idx)  # custom sources without a raw path

@@ -86,13 +86,20 @@ def _loss_and_metrics(apply_fn: Callable, params, batch, tcfg,
 
 
 def make_train_step(cfg: Config, mesh=None, mode: str = "shard_map",
-                    apply_fn: Callable | None = None) -> Callable:
+                    apply_fn: Callable | None = None,
+                    resident=None) -> Callable:
     """-> step(state, batch) -> (state, metrics). Donates state buffers.
 
     On-device preprocessing (uint8 normalize + optional view-pair
     subsampling) runs inside this jitted step — see data.pipeline.preprocess.
+
+    resident: a data.resident.ResidentFrames. The returned step then takes
+    the tiny int32 index batch; the pixel gather from the HBM-resident
+    banks happens inside the compiled step (the banks ride along as
+    non-donated args, so there is no per-step transfer of them).
     """
     from dynamic_multiview_3d_tpu.data import pipeline as pipeline_lib
+    from dynamic_multiview_3d_tpu.data import resident as resident_lib
 
     tcfg = cfg.train
     synthesis = cfg.model.synthesis
@@ -100,7 +107,11 @@ def make_train_step(cfg: Config, mesh=None, mode: str = "shard_map",
     data_seed = cfg.data.seed
     apply_fn = apply_fn or DMV3D(cfg.model).apply
 
-    def _step(state: TrainState, batch: dict, pmean_axis: str | None):
+    def _step(state: TrainState, batch: dict, res_frames=None,
+              res_poses=None, *, pmean_axis: str | None):
+        if res_frames is not None:
+            batch = resident_lib.ResidentFrames.gather(
+                res_frames, res_poses, batch)
         key = jax.random.fold_in(jax.random.key(data_seed), state.step)
         # Subsampling keys are folded over the GLOBAL example index so every
         # shard draws independent target subsets and 'shard_map' == 'auto'
@@ -127,29 +138,39 @@ def make_train_step(cfg: Config, mesh=None, mode: str = "shard_map",
         state = state.apply_gradients(grads=grads)
         return state, metrics
 
+    def _bind(jitted):
+        """Resident banks ride as trailing non-donated args; callers always
+        see step(state, batch)."""
+        if resident is None:
+            return jitted
+        frames, poses = resident.frames, resident.poses
+        return lambda state, batch: jitted(state, batch, frames, poses)
+
+    n_res = 0 if resident is None else 2
+
     if mesh is None:
-        return jax.jit(functools.partial(_step, pmean_axis=None),
-                       donate_argnums=0)
+        return _bind(jax.jit(functools.partial(_step, pmean_axis=None),
+                             donate_argnums=0))
 
     if mode == "shard_map":
         sharded = jax.shard_map(
             functools.partial(_step, pmean_axis="data"),
             mesh=mesh,
-            in_specs=(P(), P("data")),
+            in_specs=(P(), P("data")) + (P(),) * n_res,
             out_specs=(P(), P()),
             check_vma=False,
         )
-        return jax.jit(sharded, donate_argnums=0)
+        return _bind(jax.jit(sharded, donate_argnums=0))
 
     if mode == "auto":
         batch_sh = NamedSharding(mesh, P("data"))
         repl = NamedSharding(mesh, P())
-        return jax.jit(
+        return _bind(jax.jit(
             functools.partial(_step, pmean_axis=None),
-            in_shardings=(None, batch_sh),
+            in_shardings=(None, batch_sh) + (repl,) * n_res,
             out_shardings=(None, repl),
             donate_argnums=0,
-        )
+        ))
 
     raise ValueError(f"unknown parallel mode: {mode}")
 

@@ -1,0 +1,126 @@
+"""HBM-resident dataset mode (data/resident.py): the device-side gather
+must reproduce the host decode path example-for-example, and training
+through it must match the host-batch training stream.
+
+Why this mode exists: BASELINE.md "host-transfer leak" note — per-step
+H2D pixel traffic is both the relay-link bottleneck and (on this machine)
+leaked host-side by the TPU relay plugin; shipping int32 indices instead
+bounds both. The reference kept its dataset in host RAM for feed_dict
+slicing (SURVEY.md R5); HBM residency is the TPU-native equivalent.
+"""
+
+import dataclasses
+
+import jax
+import numpy as np
+import pytest
+
+from dynamic_multiview_3d_tpu import config as config_lib
+from dynamic_multiview_3d_tpu.data import frames as frames_lib
+from dynamic_multiview_3d_tpu.data import resident as resident_lib
+
+
+@pytest.fixture(scope="module")
+def packed_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("resident_ds"))
+    frames_lib.export_synthetic(root, num_scenes=4, image_size=32,
+                                num_views=4, seq_len=3, fmt="packed")
+    return root
+
+
+def _dcfg(root, **kw):
+    return config_lib.DataConfig(source="frames", root=root, image_size=32,
+                                 seq_len=2, num_targets=2, batch_size=4,
+                                 **kw)
+
+
+def test_gather_matches_host_batch(packed_root):
+    cfg = _dcfg(packed_root)
+    src = frames_lib.FrameFolderScenes(cfg)
+    res = resident_lib.ResidentFrames(src, cfg)
+
+    idx = list(range(8, 16))
+    host = src.batch(idx, raw=True)                 # uint8 host pixels
+    dev = jax.jit(resident_lib.ResidentFrames.gather)(
+        res.frames, res.poses, res.index_batch(idx))
+
+    np.testing.assert_array_equal(np.asarray(dev["image_seq"]),
+                                  host["image_seq"])
+    np.testing.assert_array_equal(np.asarray(dev["tgt_images"]),
+                                  host["tgt_images"])
+    np.testing.assert_allclose(np.asarray(dev["src_poses"]),
+                               host["src_poses"], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(dev["tgt_poses"]),
+                               host["tgt_poses"], atol=1e-6)
+
+
+def test_fits_budget(packed_root):
+    cfg = _dcfg(packed_root)
+    src = frames_lib.FrameFolderScenes(cfg)
+    assert resident_lib.fits_budget(src, cfg)
+    tiny = dataclasses.replace(cfg, resident_budget_mb=0)
+    assert not resident_lib.fits_budget(src, tiny)
+
+
+def test_resident_training_matches_host_batches(packed_root):
+    """Three steps through make_train_step with resident indices == three
+    steps with host-assembled uint8 batches (identical streams)."""
+    from dynamic_multiview_3d_tpu.parallel import mesh as mesh_lib
+    from dynamic_multiview_3d_tpu.train import loop as loop_lib
+    from dynamic_multiview_3d_tpu.train import step as step_lib
+
+    cfg = config_lib.override(config_lib.Config(), [
+        "model.image_size=32", "model.num_levels=3", "model.base_features=8",
+        "model.max_features=16", "model.gru_features=16",
+        "model.pose_embed_dim=8", "model.dtype=float32",
+        "model.use_pallas=False", "mesh.data=1",
+        "data.source=frames", f"data.root={packed_root}",
+        "data.image_size=32",
+        "data.seq_len=2", "data.num_targets=2", "data.batch_size=4",
+        "train.optimizer=sgd", "train.lr=1e-3",
+    ])
+    mesh = mesh_lib.make_mesh(cfg.mesh)
+    src = frames_lib.FrameFolderScenes(cfg.data)
+    res = loop_lib._maybe_resident(cfg, src, mesh)
+    assert res is not None, "auto mode should enable on this packed dataset"
+
+    state_r = step_lib.init_state(cfg)
+    state_h = step_lib.init_state(cfg)
+    step_res = step_lib.make_train_step(cfg, mesh=mesh, resident=res)
+    step_host = step_lib.make_train_step(cfg, mesh=mesh)
+    fn_res = loop_lib._make_batch_fn(cfg, src, resident=res)
+    fn_host = loop_lib._make_batch_fn(cfg, src)
+
+    for step in range(3):
+        state_r, m_r = step_res(state_r,
+                                mesh_lib.shard_batch(mesh, fn_res(step)))
+        state_h, m_h = step_host(state_h,
+                                 mesh_lib.shard_batch(mesh, fn_host(step)))
+        np.testing.assert_allclose(float(m_r["loss/total"]),
+                                   float(m_h["loss/total"]), atol=1e-6)
+    for a, b in zip(jax.tree.leaves(state_r.params),
+                    jax.tree.leaves(state_h.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_resident_disabled_for_png_and_off(packed_root, tmp_path):
+    from dynamic_multiview_3d_tpu.parallel import mesh as mesh_lib
+    from dynamic_multiview_3d_tpu.train import loop as loop_lib
+
+    png_root = str(tmp_path / "png")
+    frames_lib.export_synthetic(png_root, num_scenes=2, image_size=32,
+                                num_views=3, seq_len=2, fmt="png")
+    mesh = mesh_lib.make_mesh(config_lib.MeshConfig())
+
+    cfg = config_lib.Config(data=_dcfg(png_root))
+    src = frames_lib.FrameFolderScenes(cfg.data)
+    assert loop_lib._maybe_resident(cfg, src, mesh) is None  # not packed
+
+    cfg_off = config_lib.Config(data=_dcfg(packed_root,
+                                           device_resident="off"))
+    src2 = frames_lib.FrameFolderScenes(cfg_off.data)
+    assert loop_lib._maybe_resident(cfg_off, src2, mesh) is None
+
+    with pytest.raises(ValueError):
+        cfg_on = config_lib.Config(data=_dcfg(png_root, device_resident="on"))
+        loop_lib._maybe_resident(cfg_on, src, mesh)
