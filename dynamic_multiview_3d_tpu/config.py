@@ -86,6 +86,12 @@ class DataConfig:
                                      # when packed + single-process + it fits
                                      # resident_budget_mb)
     resident_budget_mb: int = 4096   # HBM budget for device-resident banks
+    device_sampling: bool = False    # resident-only: draw (scene, views, t0)
+                                     # INSIDE the compiled step from
+                                     # fold_in(seed, step) — a dispatch then
+                                     # consumes no host input at all. Stream
+                                     # is seeded+resumable but differs from
+                                     # the host sampler's (jax vs numpy rng)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -105,6 +111,16 @@ class TrainConfig:
     smooth_weight: float = 0.0       # optional flow smoothness
     geo_weight: float = 0.5          # masked L1 on the depth-reprojection
                                      # view (only when predict_depth)
+    steps_per_dispatch: int = 1      # >1: lax.scan this many optimizer steps
+                                     # inside ONE compiled program per host
+                                     # dispatch (t5x-style host loop).
+                                     # Amortizes dispatch latency — the
+                                     # dominant e2e cost through high-latency
+                                     # links — and pairs naturally with
+                                     # data.device_resident (per-dispatch host
+                                     # work is stacking S index batches).
+                                     # num_steps/ckpt_every/log_every should
+                                     # be multiples of it (validated).
     num_steps: int = 100_000
     log_every: int = 100
     ckpt_every: int = 1000

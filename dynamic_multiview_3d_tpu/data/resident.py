@@ -120,6 +120,56 @@ class ResidentFrames:
             "tgt_pose_idx": np.asarray(tgt_pose_idx, np.int32),  # [B, K]
         }
 
+    def sample_meta(self) -> dict:
+        """Static shape facts the device-side sampler needs."""
+        return {"num_scenes": self.num_scenes, "num_views": self.num_views,
+                "t_avail": self.t_avail, "t_len": self.t_len,
+                "num_targets": self.cfg.num_targets}
+
+    @staticmethod
+    def device_sample(frames, poses, meta: dict, key, batch: int,
+                      index_offset=0) -> dict:
+        """Fully on-device example sampling + gather (data.device_sampling).
+
+        Draws (scene, src_view, K target views, t0) per example from
+        ``fold_in(key, global_example_index)`` — a pure function of the
+        step counter, so exact resume is preserved and data-parallel
+        shards draw independent examples (``index_offset`` = this shard's
+        first global row, as in pipeline.preprocess). With this, a train
+        dispatch consumes NO host input at all: the loop's only job is
+        scheduling dispatches and checkpoints. The stream differs from the
+        host sample_indices stream (jax vs numpy rng) — both are seeded,
+        documented, and resumable.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        s, v = meta["num_scenes"], meta["num_views"]
+        t_avail, t_len, k = meta["t_avail"], meta["t_len"], \
+            meta["num_targets"]
+
+        def draw(kk):
+            k1, k2, k3, k4 = jax.random.split(kk, 4)
+            scene = jax.random.randint(k1, (), 0, s)
+            src_view = jax.random.randint(k2, (), 0, v)
+            if v >= k:       # without replacement, like the host sampler
+                tgt_views = jax.random.permutation(k3, v)[:k]
+            else:
+                tgt_views = jax.random.randint(k3, (k,), 0, v)
+            t0 = jax.random.randint(k4, (), 0, t_avail - t_len + 1)
+            seq_rows = (scene * v + src_view) * t_avail + t0 + \
+                jnp.arange(t_len)
+            tgt_rows = (scene * v + tgt_views) * t_avail + t0 + t_len - 1
+            return (seq_rows, tgt_rows, scene * v + src_view,
+                    scene * v + tgt_views)
+
+        keys = jax.vmap(jax.random.fold_in, (None, 0))(
+            key, index_offset + jnp.arange(batch))
+        seq_idx, tgt_idx, src_pose_idx, tgt_pose_idx = jax.vmap(draw)(keys)
+        return ResidentFrames.gather(frames, poses, {
+            "seq_idx": seq_idx, "tgt_idx": tgt_idx,
+            "src_pose_idx": src_pose_idx, "tgt_pose_idx": tgt_pose_idx})
+
     @staticmethod
     def gather(frames, poses, idx: dict) -> dict:
         """Traced inside the jitted step: resident rows -> standard batch.

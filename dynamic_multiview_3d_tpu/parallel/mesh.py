@@ -37,14 +37,17 @@ def replicate(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(mesh: Mesh, batch: dict) -> dict:
+def shard_batch(mesh: Mesh, batch: dict, spec: P | None = None) -> dict:
     """Host numpy batch -> global device arrays sharded along 'data'.
 
     Works identically single-host (device_put splits locally) and multi-host
     (each process contributes its local shard of the global batch via
-    make_array_from_process_local_data).
+    make_array_from_process_local_data). ``spec`` overrides the default
+    leading-axis P('data') — e.g. P(None, 'data') for steps_per_dispatch
+    batches whose leading axis is the dispatch's scan axis.
     """
-    sharding = batch_sharding(mesh)
+    sharding = (batch_sharding(mesh) if spec is None
+                else NamedSharding(mesh, spec))
     if jax.process_count() == 1:
         return jax.device_put(batch, sharding)
     return jax.tree.map(

@@ -15,6 +15,7 @@ import time
 import jax
 import numpy as np
 import orbax.checkpoint as ocp
+from jax.sharding import PartitionSpec as P
 
 from dynamic_multiview_3d_tpu import config as config_lib
 from dynamic_multiview_3d_tpu.parallel import mesh as mesh_lib
@@ -58,6 +59,14 @@ def train(cfg: config_lib.Config, *, writer: metrics_lib.MetricsWriter | None
         raise ValueError(
             f"global batch {cfg.data.batch_size} not divisible by data={n_data}")
 
+    spd = max(1, cfg.train.steps_per_dispatch)
+    if spd > 1:
+        for nm in ("num_steps", "ckpt_every", "log_every"):
+            if getattr(cfg.train, nm) % spd:
+                raise ValueError(
+                    f"train.{nm}={getattr(cfg.train, nm)} must be a "
+                    f"multiple of train.steps_per_dispatch={spd}")
+
     from dynamic_multiview_3d_tpu.data import pipeline as pipeline_lib
     grain_iter = None
     resident = None
@@ -66,12 +75,26 @@ def train(cfg: config_lib.Config, *, writer: metrics_lib.MetricsWriter | None
         # rides with checkpoints for exact resume.
         grain_iter = pipeline_lib.make_grain_iterator(cfg.data,
                                                       num_epochs=None)
-        batch_for_step = lambda step: next(grain_iter)  # noqa: E731
+        if spd == 1:
+            batch_for_step = lambda step: next(grain_iter)  # noqa: E731
+        else:
+            def batch_for_step(step):
+                subs = [next(grain_iter) for _ in range(spd)]
+                return {k: np.stack([s[k] for s in subs]) for k in subs[0]}
     else:
         if data_source is None:
             data_source = pipeline_lib.make_source(cfg.data)
         resident = _maybe_resident(cfg, data_source, mesh)
-        batch_for_step = _make_batch_fn(cfg, data_source, resident=resident)
+        if cfg.data.device_sampling:
+            if resident is None:
+                raise ValueError("data.device_sampling requires a "
+                                 "device-resident dataset "
+                                 "(data.device_resident)")
+            batch_for_step = lambda step: None  # noqa: E731 — zero host input
+        else:
+            batch_for_step = _make_batch_fn(cfg, data_source,
+                                            resident=resident,
+                                            steps_per_dispatch=spd)
 
     state = step_lib.init_state(cfg)
     mgr = ckpt_lib.make_manager(cfg.train.ckpt_dir, cfg.train.max_to_keep,
@@ -81,6 +104,11 @@ def train(cfg: config_lib.Config, *, writer: metrics_lib.MetricsWriter | None
     if restored is not None:
         state = restored
         start_step = int(np.asarray(state.step))
+        if start_step % spd:
+            raise ValueError(
+                f"resume step {start_step} is not aligned to "
+                f"steps_per_dispatch={spd} (checkpoint from a different "
+                "dispatch granularity — set a compatible value)")
         if grain_iter is not None:
             _restore_grain_state(cfg.train.ckpt_dir, start_step, grain_iter)
 
@@ -93,51 +121,59 @@ def train(cfg: config_lib.Config, *, writer: metrics_lib.MetricsWriter | None
 
     last_metrics: dict = {}
     t_last = time.perf_counter()
-    for step in range(start_step, cfg.train.num_steps):
+    # one iteration = one host dispatch = `spd` optimizer steps (spd=1: the
+    # classic loop; spd>1: the t5x-style scanned host loop). `end` is the
+    # number of completed optimizer steps after the dispatch.
+    for step in range(start_step, cfg.train.num_steps, spd):
+        end = step + spd
         if profile_dir and step == profile_steps[0]:
             jax.profiler.start_trace(profile_dir)
         host_batch = batch_for_step(step)
         if preview_batch is None:
             if resident is not None:   # host pixels for summaries only
                 pv = data_source.batch(range(2), raw=True)
+            elif spd > 1:
+                pv = {k: np.asarray(v[0]) for k, v in host_batch.items()}
             else:
                 pv = host_batch
             preview_batch = {k: np.asarray(v[:2]) for k, v in pv.items()}
-        batch = mesh_lib.shard_batch(mesh, host_batch)
+        batch = None if host_batch is None else mesh_lib.shard_batch(
+            mesh, host_batch,
+            spec=P(None, "data") if spd > 1 else None)
         state, metrics = step_fn(state, batch)
-        if profile_dir and step + 1 == profile_steps[1]:
+        if profile_dir and end == profile_steps[1]:
             jax.block_until_ready(metrics)
             jax.profiler.stop_trace()
 
-        if cfg.train.fail_after_step >= 0 and step >= cfg.train.fail_after_step:
+        if cfg.train.fail_after_step >= 0 and end > cfg.train.fail_after_step:
             # flush a checkpoint exactly as a healthy run would have, then die
-            mgr.save(step + 1, args=ocp.args.StandardSave(state), force=True)
+            mgr.save(end, args=ocp.args.StandardSave(state), force=True)
             mgr.wait_until_finished()
             if grain_iter is not None:
-                _save_grain_state(cfg.train.ckpt_dir, step + 1, grain_iter)
-            raise FaultInjected(f"injected failure after step {step}")
+                _save_grain_state(cfg.train.ckpt_dir, end, grain_iter)
+            raise FaultInjected(f"injected failure after step {end - 1}")
 
         if (writer is not None and writer.has_images
-                and (step + 1) % cfg.train.ckpt_every == 0):
+                and end % cfg.train.ckpt_every == 0):
             if render_fn is None:
                 from dynamic_multiview_3d_tpu.models import DMV3D
                 render_fn = jax.jit(DMV3D(cfg.model).apply)
             _write_image_summaries(render_fn, writer, state, preview_batch,
-                                   step + 1)
+                                   end)
 
-        if (step + 1) % cfg.train.log_every == 0 or step == start_step:
+        if end % cfg.train.log_every == 0 or step == start_step:
             metrics = {k: float(v) for k, v in metrics.items()}
             now = time.perf_counter()
-            denom = cfg.train.log_every if step != start_step else 1
+            denom = cfg.train.log_every if step != start_step else spd
             metrics["steps_per_sec"] = denom / max(now - t_last, 1e-9)
             metrics["host_rss_mb"] = _host_rss_mb()
             t_last = now
             last_metrics = metrics
             if writer is not None:
-                writer.write(step + 1, metrics)
-        saved = mgr.save(step + 1, args=ocp.args.StandardSave(state))
+                writer.write(end, metrics)
+        saved = mgr.save(end, args=ocp.args.StandardSave(state))
         if saved and grain_iter is not None:
-            _save_grain_state(cfg.train.ckpt_dir, step + 1, grain_iter)
+            _save_grain_state(cfg.train.ckpt_dir, end, grain_iter)
 
     mgr.wait_until_finished()
     # Export in the Model.from_checkpoint format for eval/predict (T5).
@@ -227,7 +263,8 @@ def _maybe_resident(cfg: config_lib.Config, data_source, mesh):
                                        sharding=mesh_lib.replicate(mesh))
 
 
-def _make_batch_fn(cfg: config_lib.Config, data_source, resident=None):
+def _make_batch_fn(cfg: config_lib.Config, data_source, resident=None,
+                   steps_per_dispatch: int = 1):
     """Deterministic step -> THIS PROCESS's slice of the global batch
     (resume == replay). Each process materializes only its contiguous
     local rows; mesh_lib.shard_batch assembles the global array from the
@@ -246,7 +283,7 @@ def _make_batch_fn(cfg: config_lib.Config, data_source, resident=None):
     raw = cfg.data.device_preprocess
     has_raw = "raw" in inspect.signature(data_source.batch).parameters
 
-    def batch_for_step(step: int) -> dict:
+    def one(step: int) -> dict:
         lo = step * bsz + lo_off
         idx = range(lo, lo + local)
         if resident is not None:
@@ -255,4 +292,11 @@ def _make_batch_fn(cfg: config_lib.Config, data_source, resident=None):
             return data_source.batch(idx, raw=raw)
         return data_source.batch(idx)  # custom sources without a raw path
 
-    return batch_for_step
+    if steps_per_dispatch == 1:
+        return one
+
+    def stacked(step: int) -> dict:
+        subs = [one(step + j) for j in range(steps_per_dispatch)]
+        return {k: np.stack([s[k] for s in subs]) for k in subs[0]}
+
+    return stacked

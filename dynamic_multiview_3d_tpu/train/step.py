@@ -107,12 +107,41 @@ def make_train_step(cfg: Config, mesh=None, mode: str = "shard_map",
     data_seed = cfg.data.seed
     apply_fn = apply_fn or DMV3D(cfg.model).apply
 
-    def _step(state: TrainState, batch: dict, res_frames=None,
+    spd = cfg.train.steps_per_dispatch
+    device_sampling = bool(cfg.data.device_sampling and resident is not None)
+    sample_meta = resident.sample_meta() if device_sampling else None
+    bsz = cfg.data.batch_size
+    n_data = mesh.shape["data"] if mesh is not None else 1
+
+    def _step(state: TrainState, batch: dict | None, res_frames=None,
               res_poses=None, *, pmean_axis: str | None):
-        if res_frames is not None:
+        if spd > 1:
+            # t5x-style host loop: scan `spd` optimizer steps in THIS one
+            # compiled program. batch leaves carry a leading [spd] axis
+            # (device_sampling: no xs at all — the scan runs data-free).
+            def body(st, sub_batch):
+                return _one_step(st, sub_batch, res_frames, res_poses,
+                                 pmean_axis=pmean_axis)
+            state, ms = jax.lax.scan(
+                body, state, batch, length=spd if batch is None else None)
+            return state, jax.tree.map(lambda x: jnp.mean(x, axis=0), ms)
+        return _one_step(state, batch, res_frames, res_poses,
+                         pmean_axis=pmean_axis)
+
+    def _one_step(state: TrainState, batch: dict | None, res_frames=None,
+                  res_poses=None, *, pmean_axis: str | None):
+        key = jax.random.fold_in(jax.random.key(data_seed), state.step)
+        if device_sampling:
+            lb = bsz // n_data if pmean_axis is not None else bsz
+            off = (jax.lax.axis_index(pmean_axis) * lb
+                   if pmean_axis is not None else 0)
+            key, k_samp = jax.random.split(key)
+            batch = resident_lib.ResidentFrames.device_sample(
+                res_frames, res_poses, sample_meta, k_samp, lb,
+                index_offset=off)
+        elif res_frames is not None:
             batch = resident_lib.ResidentFrames.gather(
                 res_frames, res_poses, batch)
-        key = jax.random.fold_in(jax.random.key(data_seed), state.step)
         # Subsampling keys are folded over the GLOBAL example index so every
         # shard draws independent target subsets and 'shard_map' == 'auto'
         # numerically: shard i holds the contiguous slice starting at
@@ -140,13 +169,20 @@ def make_train_step(cfg: Config, mesh=None, mode: str = "shard_map",
 
     def _bind(jitted):
         """Resident banks ride as trailing non-donated args; callers always
-        see step(state, batch)."""
+        see step(state, batch). device_sampling ignores the batch (None —
+        an empty pytree: the dispatch consumes no host input)."""
         if resident is None:
             return jitted
         frames, poses = resident.frames, resident.poses
+        if device_sampling:
+            return lambda state, batch=None: jitted(state, None, frames,
+                                                    poses)
         return lambda state, batch: jitted(state, batch, frames, poses)
 
     n_res = 0 if resident is None else 2
+    # with steps_per_dispatch>1 batches carry a leading [spd] axis; the
+    # data-parallel shard axis moves to position 1
+    batch_spec = P(None, "data") if spd > 1 else P("data")
 
     if mesh is None:
         return _bind(jax.jit(functools.partial(_step, pmean_axis=None),
@@ -156,14 +192,14 @@ def make_train_step(cfg: Config, mesh=None, mode: str = "shard_map",
         sharded = jax.shard_map(
             functools.partial(_step, pmean_axis="data"),
             mesh=mesh,
-            in_specs=(P(), P("data")) + (P(),) * n_res,
+            in_specs=(P(), batch_spec) + (P(),) * n_res,
             out_specs=(P(), P()),
             check_vma=False,
         )
         return _bind(jax.jit(sharded, donate_argnums=0))
 
     if mode == "auto":
-        batch_sh = NamedSharding(mesh, P("data"))
+        batch_sh = NamedSharding(mesh, batch_spec)
         repl = NamedSharding(mesh, P())
         return _bind(jax.jit(
             functools.partial(_step, pmean_axis=None),
