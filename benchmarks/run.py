@@ -136,19 +136,21 @@ def bench_c4():
             return (optax.apply_updates(p, updates), o), loss
         return step
 
+    n_scan = 32     # steps per timed dispatch (amortizes relay latency)
+
     @jax.jit
-    def run_n(p, o, n):
-        (p, o), losses = jax.lax.scan(make_step(), (p, o), None, length=32)
+    def run_n(p, o):
+        (p, o), losses = jax.lax.scan(make_step(), (p, o), None,
+                                      length=n_scan)
         return losses[-1]
 
     import time as time_lib
-    run_n(params, opt_state0, 6).block_until_ready()
-    float(run_n(params, opt_state0, 6))      # warm + force
+    float(run_n(params, opt_state0))         # compile + force
     reps = []
     for _ in range(3):
         t0 = time_lib.perf_counter()
-        float(run_n(params, opt_state0, 6))  # scalar fetch forces the chain
-        reps.append((time_lib.perf_counter() - t0) / 32)
+        float(run_n(params, opt_state0))     # scalar fetch forces the chain
+        reps.append((time_lib.perf_counter() - t0) / n_scan)
     dt = min(reps)
     return {"config": "c4_train128", "steps_per_sec_per_chip": round(1 / dt, 3),
             "examples_per_sec_per_chip": round(b / dt, 2),

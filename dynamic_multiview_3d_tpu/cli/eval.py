@@ -48,8 +48,20 @@ def main(argv=None) -> None:
     import dataclasses
     dcfg = model.cfg.data
     if args.data_root:
+        if dcfg.source != "frames":
+            p.error("--data-root applies only to frames-source checkpoints "
+                    f"(this one has data.source={dcfg.source!r})")
         dcfg = dataclasses.replace(dcfg, root=args.data_root)
     if args.holdout_scenes:
+        if dcfg.source != "synthetic":
+            # FrameFolderScenes globs whatever is on disk; offsetting ids
+            # would silently re-evaluate the TRAINING scenes while claiming
+            # scene-holdout. Frames checkpoints must point at a disjoint
+            # export instead.
+            p.error("--holdout-scenes applies only to synthetic-source "
+                    "checkpoints; for frames datasets pass --data-root "
+                    "with a scene-disjoint export (make_dataset "
+                    "--scene-offset) and --protocol scene-holdout")
         # unseen scene geometry: ids start past the training scene bank
         dcfg = dataclasses.replace(
             dcfg, scene_offset=dcfg.scene_offset + dcfg.num_scenes,

@@ -31,12 +31,16 @@ class FastGroupNorm(nn.Module):
     ~0.8 ms per call in the round-2 xprof trace (the decoder's single
     biggest non-conv cost). Here the converts fuse INTO the reduces (no
     f32 tensor ever lands in HBM) and the normalization is one fused
-    per-channel scale/shift in the compute dtype. Matches nn.GroupNorm to
-    bf16 rounding; same param names (scale/bias)."""
+    per-channel scale/shift in the compute dtype. Same math and param names
+    (scale/bias) as nn.GroupNorm up to dtype rounding, EXCEPT epsilon:
+    flax defaults to 1e-6; this uses 1e-5 — torch's GroupNorm default,
+    matching the torch-CPU stand-in reference the benchmarks compare
+    against (benchmarks/torch_oracle.py), and what every shipped
+    checkpoint was trained with."""
 
     num_groups: int
     dtype: Any = jnp.float32
-    epsilon: float = 1e-5
+    epsilon: float = 1e-5            # torch parity; flax would be 1e-6
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:

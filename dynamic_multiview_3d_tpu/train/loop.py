@@ -72,15 +72,21 @@ def train(cfg: config_lib.Config, *, writer: metrics_lib.MetricsWriter | None
     resident = None
     if cfg.data.streaming:
         # Grain streaming: worker-process decode + prefetch; iterator state
-        # rides with checkpoints for exact resume.
+        # rides with checkpoints for exact resume. Residency needs the
+        # whole bank up front — incompatible with a streamed iterator.
+        if cfg.data.device_resident == "on" or cfg.data.device_sampling:
+            raise ValueError(
+                "data.streaming is incompatible with data.device_resident="
+                "on / data.device_sampling (the HBM-resident modes need "
+                "the full packed bank; use the index-batch path)")
         grain_iter = pipeline_lib.make_grain_iterator(cfg.data,
                                                       num_epochs=None)
         if spd == 1:
             batch_for_step = lambda step: next(grain_iter)  # noqa: E731
         else:
             def batch_for_step(step):
-                subs = [next(grain_iter) for _ in range(spd)]
-                return {k: np.stack([s[k] for s in subs]) for k in subs[0]}
+                return _stack_subbatches(
+                    [next(grain_iter) for _ in range(spd)])
     else:
         if data_source is None:
             data_source = pipeline_lib.make_source(cfg.data)
@@ -124,10 +130,13 @@ def train(cfg: config_lib.Config, *, writer: metrics_lib.MetricsWriter | None
     # one iteration = one host dispatch = `spd` optimizer steps (spd=1: the
     # classic loop; spd>1: the t5x-style scanned host loop). `end` is the
     # number of completed optimizer steps after the dispatch.
+    tracing = False
     for step in range(start_step, cfg.train.num_steps, spd):
         end = step + spd
-        if profile_dir and step == profile_steps[0]:
+        # profile window snaps to dispatch boundaries when spd > 1
+        if profile_dir and not tracing and step <= profile_steps[0] < end:
             jax.profiler.start_trace(profile_dir)
+            tracing = True
         host_batch = batch_for_step(step)
         if preview_batch is None:
             if resident is not None:   # host pixels for summaries only
@@ -141,9 +150,10 @@ def train(cfg: config_lib.Config, *, writer: metrics_lib.MetricsWriter | None
             mesh, host_batch,
             spec=P(None, "data") if spd > 1 else None)
         state, metrics = step_fn(state, batch)
-        if profile_dir and end == profile_steps[1]:
+        if tracing and end >= profile_steps[1]:
             jax.block_until_ready(metrics)
             jax.profiler.stop_trace()
+            tracing = False
 
         if cfg.train.fail_after_step >= 0 and end > cfg.train.fail_after_step:
             # flush a checkpoint exactly as a healthy run would have, then die
@@ -296,7 +306,13 @@ def _make_batch_fn(cfg: config_lib.Config, data_source, resident=None,
         return one
 
     def stacked(step: int) -> dict:
-        subs = [one(step + j) for j in range(steps_per_dispatch)]
-        return {k: np.stack([s[k] for s in subs]) for k in subs[0]}
+        return _stack_subbatches(
+            [one(step + j) for j in range(steps_per_dispatch)])
 
     return stacked
+
+
+def _stack_subbatches(subs: list[dict]) -> dict:
+    """[spd] per-step batches -> one dispatch batch with a leading [spd]
+    axis (scanned by the step; sharded P(None, 'data'))."""
+    return {k: np.stack([s[k] for s in subs]) for k in subs[0]}

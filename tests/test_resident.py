@@ -29,9 +29,9 @@ def packed_root(tmp_path_factory):
 
 
 def _dcfg(root, **kw):
+    kw.setdefault("batch_size", 4)
     return config_lib.DataConfig(source="frames", root=root, image_size=32,
-                                 seq_len=2, num_targets=2, batch_size=4,
-                                 **kw)
+                                 seq_len=2, num_targets=2, **kw)
 
 
 def test_gather_matches_host_batch(packed_root):
@@ -190,6 +190,18 @@ def test_device_sampling_trains_with_zero_host_input(packed_root):
     # reconstruct rows by sampling again on host-visible indices
     assert np.asarray(b["image_seq"]).dtype == np.uint8
     assert n_rows == res.frames.shape[0]
+
+
+def test_streaming_rejects_resident_modes(packed_root):
+    """Streaming pulls from an iterator; HBM residency needs the full bank
+    up front — asking for both must fail loudly, not silently fall back."""
+    from dynamic_multiview_3d_tpu.train import loop as loop_lib
+
+    cfg = config_lib.Config(data=_dcfg(packed_root, streaming=True,
+                                       device_sampling=True,
+                                       batch_size=8))
+    with pytest.raises(ValueError, match="streaming"):
+        loop_lib.train(cfg)
 
 
 def test_resident_disabled_for_png_and_off(packed_root, tmp_path):
