@@ -92,6 +92,13 @@ class DataConfig:
                                      # consumes no host input at all. Stream
                                      # is seeded+resumable but differs from
                                      # the host sampler's (jax vs numpy rng)
+    resident_sharding: str = "replicate"  # "replicate": every device holds
+                                     # the full bank. "scenes": the bank is
+                                     # SHARDED along the 'data' mesh axis by
+                                     # scene (each shard trains on its own
+                                     # scene subset — the HBM cost per chip
+                                     # divides by the mesh size; requires
+                                     # device_sampling and shard_map mode)
 
 
 @dataclasses.dataclass(frozen=True)

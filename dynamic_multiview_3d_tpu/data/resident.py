@@ -35,9 +35,10 @@ import numpy as np
 from dynamic_multiview_3d_tpu.config import DataConfig
 
 
-def fits_budget(source, cfg: DataConfig) -> bool:
+def fits_budget(source, cfg: DataConfig, num_shards: int = 1) -> bool:
     """True when every scene is packed, uniform, and the stacked bank fits
-    cfg.resident_budget_mb."""
+    cfg.resident_budget_mb (per shard: scene-sharded banks divide the
+    per-device HBM cost by the 'data' mesh size)."""
     try:
         metas = [source._meta(s) for s in source.scenes]
     except Exception:
@@ -49,7 +50,7 @@ def fits_budget(source, cfg: DataConfig) -> bool:
         return False
     s = cfg.image_size
     total = len(source.scenes) * v0 * t0 * s * s * 3
-    return total <= cfg.resident_budget_mb * 1024 * 1024
+    return total / max(1, num_shards) <= cfg.resident_budget_mb * 1024 * 1024
 
 
 class ResidentFrames:
@@ -60,41 +61,77 @@ class ResidentFrames:
     inside the jitted step against the resident banks.
     """
 
-    def __init__(self, source, cfg: DataConfig, sharding=None):
+    def __init__(self, source, cfg: DataConfig, sharding=None,
+                 num_shards: int = 1):
+        """num_shards > 1 = scene-sharded mode (cfg.resident_sharding
+        'scenes'): the flat row tables are sharded along their leading axis
+        over the 'data' mesh axis; ``sharding`` must then be the
+        NamedSharding(mesh, P('data')). Each shard holds (and trains on)
+        its contiguous scene subset; per-device HBM divides by the mesh
+        size. Rows are materialized shard-by-shard via
+        make_array_from_callback, so a multi-host process only ever builds
+        its own scenes' pixels."""
         import jax
 
         self.cfg = cfg
         self.source = source
+        self.num_shards = num_shards
         metas = [source._meta(s) for s in source.scenes]
-        self.num_views = metas[0]["num_views"]
-        self.t_avail = metas[0]["seq_len"]
+        self.num_views = v = metas[0]["num_views"]
+        self.t_avail = t = metas[0]["seq_len"]
         self.t_len = min(cfg.seq_len, self.t_avail)
         s = cfg.image_size
+        s_total = len(source.scenes)
+        if s_total % num_shards:
+            raise ValueError(
+                f"resident_sharding='scenes' needs the scene count "
+                f"({s_total}) divisible by the data mesh size ({num_shards})")
+        # local scene count drives the in-step sampler in sharded mode
+        self.num_scenes = s_total // num_shards
 
-        banks = []
-        for scene in source.scenes:
-            bank = np.asarray(source._packed(scene))      # [V, T, H, W, 3] u8
+        def load_scene(i: int) -> np.ndarray:             # -> [V*T, s, s, 3]
+            bank = np.asarray(source._packed(source.scenes[i]))
             if bank.shape[2:4] != (s, s):
-                v, t = bank.shape[:2]
                 bank = source._resize_u8(
                     bank.reshape(v * t, *bank.shape[2:])).reshape(
                         v, t, s, s, 3)
-            banks.append(bank)
-        frames = np.stack(banks)                          # [S, V, T, H, W, 3]
-        poses = np.stack([m["poses"][: self.num_views] for m in metas]
-                         ).astype(np.float32)             # [S, V, P]
-        self.num_scenes = frames.shape[0]
-        # flat row tables make the in-step gather a single take() each
-        frames_host = frames.reshape(-1, s, s, 3)         # [S*V*T, H, W, 3]
-        poses_host = poses.reshape(-1, poses.shape[-1])
-        self.nbytes = frames_host.nbytes
-        if sharding is not None:
-            self.frames = jax.device_put(frames_host, sharding)
-            self.poses = jax.device_put(poses_host, sharding)
-        else:
-            self.frames = jax.device_put(frames_host)
-            self.poses = jax.device_put(poses_host)
-        del frames, banks, frames_host   # host copies are dead after upload
+            return bank.reshape(v * t, s, s, 3)
+
+        rows = s_total * v * t
+        self.nbytes = rows * s * s * 3
+        poses_host = np.concatenate(
+            [m["poses"][:v] for m in metas]).astype(np.float32)  # [S*V, P]
+
+        if num_shards == 1:
+            frames_host = np.concatenate(
+                [load_scene(i) for i in range(s_total)])
+            if sharding is not None:
+                self.frames = jax.device_put(frames_host, sharding)
+                self.poses = jax.device_put(poses_host, sharding)
+            else:
+                self.frames = jax.device_put(frames_host)
+                self.poses = jax.device_put(poses_host)
+            del frames_host            # host copy is dead after upload
+            return
+
+        rows_per_scene = v * t
+
+        def frames_cb(index):
+            lo = 0 if index[0].start is None else index[0].start
+            hi = rows if index[0].stop is None else index[0].stop
+            assert lo % rows_per_scene == 0 and hi % rows_per_scene == 0, \
+                "shard boundary must align to scene boundaries"
+            return np.concatenate([
+                load_scene(i) for i in range(lo // rows_per_scene,
+                                             hi // rows_per_scene)])
+
+        def poses_cb(index):
+            return poses_host[index]
+
+        self.frames = jax.make_array_from_callback(
+            (rows, s, s, 3), sharding, frames_cb)
+        self.poses = jax.make_array_from_callback(
+            poses_host.shape, sharding, poses_cb)
 
     def _flat(self, scene_i: int, view, t) -> np.ndarray:
         return (np.asarray(scene_i) * self.num_views
@@ -103,6 +140,11 @@ class ResidentFrames:
     def index_batch(self, indices) -> dict:
         """Host side: the same draws as FrameFolderScenes.example, reduced
         to flat row indices. ~16 bytes/example instead of the pixels."""
+        if self.num_shards > 1:
+            raise ValueError(
+                "scene-sharded residency has no host index path — global "
+                "row ids cannot address a shard-local bank; use "
+                "data.device_sampling")
         seq_idx, tgt_idx, src_pose_idx, tgt_pose_idx = [], [], [], []
         for index in indices:
             scene_i, src_view, tgt_views, t0 = \

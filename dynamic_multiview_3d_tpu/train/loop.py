@@ -90,7 +90,8 @@ def train(cfg: config_lib.Config, *, writer: metrics_lib.MetricsWriter | None
     else:
         if data_source is None:
             data_source = pipeline_lib.make_source(cfg.data)
-        resident = _maybe_resident(cfg, data_source, mesh)
+        resident = _maybe_resident(cfg, data_source, mesh,
+                                   parallel_mode=parallel_mode)
         if cfg.data.device_sampling:
             if resident is None:
                 raise ValueError("data.device_sampling requires a "
@@ -253,14 +254,41 @@ def _write_image_summaries(render_fn, writer, state, batch, step):
     writer.write_images(step, "pred_vs_target", to_uint8(grid))
 
 
-def _maybe_resident(cfg: config_lib.Config, data_source, mesh):
+def _maybe_resident(cfg: config_lib.Config, data_source, mesh,
+                    parallel_mode: str = "shard_map"):
     """Build the HBM-resident dataset when configured/eligible
     (data/resident.py — auto requires: frames source, packed banks,
-    single process, fits data.resident_budget_mb)."""
+    single process, fits data.resident_budget_mb). With
+    data.resident_sharding='scenes' the bank is sharded by scene along
+    the 'data' mesh axis instead of replicated (multi-chip/multi-host:
+    per-device HBM divides by the mesh size; needs device_sampling +
+    shard_map)."""
     from dynamic_multiview_3d_tpu.data import resident as resident_lib
     mode = cfg.data.device_resident
     if mode == "off":
         return None
+
+    if cfg.data.resident_sharding == "scenes":
+        if not cfg.data.device_sampling or parallel_mode != "shard_map":
+            raise ValueError(
+                "data.resident_sharding='scenes' requires "
+                "data.device_sampling and the shard_map parallel mode "
+                "(a shard can only address its local scene rows)")
+        n = mesh.shape["data"]
+        eligible = (cfg.data.source == "frames"
+                    and resident_lib.fits_budget(data_source, cfg.data,
+                                                 num_shards=n))
+        if not eligible:
+            if mode == "on":
+                raise ValueError(
+                    "resident_sharding='scenes' needs a packed frames "
+                    "dataset fitting data.resident_budget_mb per shard")
+            return None
+        from jax.sharding import NamedSharding
+        return resident_lib.ResidentFrames(
+            data_source, cfg.data,
+            sharding=NamedSharding(mesh, P("data")), num_shards=n)
+
     eligible = (cfg.data.source == "frames" and jax.process_count() == 1
                 and resident_lib.fits_budget(data_source, cfg.data))
     if mode == "on" and not eligible:

@@ -180,6 +180,11 @@ def make_train_step(cfg: Config, mesh=None, mode: str = "shard_map",
         return lambda state, batch: jitted(state, batch, frames, poses)
 
     n_res = 0 if resident is None else 2
+    # replicated banks: P(); scene-sharded banks: split on 'data' rows
+    res_sharded = resident is not None and resident.num_shards > 1
+    res_spec = P("data") if res_sharded else P()
+    if res_sharded and mode != "shard_map":
+        raise ValueError("scene-sharded residency requires mode='shard_map'")
     # with steps_per_dispatch>1 batches carry a leading [spd] axis; the
     # data-parallel shard axis moves to position 1
     batch_spec = P(None, "data") if spd > 1 else P("data")
@@ -192,7 +197,7 @@ def make_train_step(cfg: Config, mesh=None, mode: str = "shard_map",
         sharded = jax.shard_map(
             functools.partial(_step, pmean_axis="data"),
             mesh=mesh,
-            in_specs=(P(), batch_spec) + (P(),) * n_res,
+            in_specs=(P(), batch_spec) + (res_spec,) * n_res,
             out_specs=(P(), P()),
             check_vma=False,
         )
