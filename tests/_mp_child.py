@@ -55,9 +55,32 @@ def main() -> None:
 
     step_fn = step_lib.make_train_step(cfg, mesh=mesh, mode="shard_map")
     state, metrics = step_fn(state, global_batch)
+
+    # --- phase 2: scene-sharded HBM residency across the two processes.
+    # The 8-scene bank shards over the 8-device global mesh (1 scene per
+    # shard); each process materializes only its 4 addressable scenes via
+    # make_array_from_callback, and the step samples in-program.
+    loss_res = None
+    if len(sys.argv) > 3:
+        from dynamic_multiview_3d_tpu.train import loop as loop_lib
+        cfg2 = config_lib.override(cfg, [
+            "data.source=frames", f"data.root={sys.argv[3]}",
+            "data.seq_len=2", "data.num_targets=2",
+            "data.device_sampling=true", "data.resident_sharding=scenes",
+        ])
+        src2 = pipeline_lib.make_source(cfg2.data)
+        res = loop_lib._maybe_resident(cfg2, src2, mesh)
+        assert res is not None and res.num_shards == 8
+        state2 = jax.device_put(step_lib.init_state(cfg2),
+                                mesh_lib.replicate(mesh))
+        step_res = step_lib.make_train_step(cfg2, mesh=mesh, resident=res)
+        state2, m2 = step_res(state2, None)
+        loss_res = float(m2["loss/total"])
+
     print(json.dumps({"pid": pid,
                       "loss": float(metrics["loss/total"]),
-                      "l1": float(metrics["loss/l1"])}), flush=True)
+                      "l1": float(metrics["loss/l1"]),
+                      "loss_resident": loss_res}), flush=True)
     jax.distributed.shutdown()
 
 

@@ -34,8 +34,18 @@ def test_two_process_distributed_matches_single(tmp_path):
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     child = os.path.join(REPO, "tests", "_mp_child.py")
+
+    # phase-2 input: an 8-scene packed export, scene-sharded over the
+    # 8-device global mesh inside the children (1 scene per shard, each
+    # process materializes only its 4 local scenes)
+    from dynamic_multiview_3d_tpu.data import frames as frames_lib
+    res_root = str(tmp_path / "res_ds")
+    frames_lib.export_synthetic(res_root, num_scenes=8, image_size=32,
+                                num_views=3, seq_len=2, fmt="packed")
+
     procs = [
-        subprocess.Popen([sys.executable, child, str(port), str(pid)],
+        subprocess.Popen([sys.executable, child, str(port), str(pid),
+                          res_root],
                          stdout=subprocess.PIPE, stderr=subprocess.PIPE,
                          env=env, cwd=REPO, text=True)
         for pid in (0, 1)
@@ -49,6 +59,10 @@ def test_two_process_distributed_matches_single(tmp_path):
     losses = {o["pid"]: o["loss"] for o in outs}
     # both processes see the same global (pmean'd) loss
     np.testing.assert_allclose(losses[0], losses[1], rtol=1e-6)
+    # scene-sharded resident step: cross-process pmean agrees too
+    res_losses = {o["pid"]: o["loss_resident"] for o in outs}
+    assert res_losses[0] is not None
+    np.testing.assert_allclose(res_losses[0], res_losses[1], rtol=1e-6)
 
     # single-process oracle: the union of both processes' Grain shards
     # through the single-device step gives the same loss
