@@ -82,7 +82,14 @@ def main(argv=None) -> None:
               * model.cfg.data.num_targets,
               "protocol": args.protocol or ("scene-holdout"
                                             if args.holdout_scenes
-                                            else "pose-holdout")}
+                                            else "pose-holdout"),
+              # the protocol label is caller-asserted for frames datasets;
+              # record the resolved data config so the claim is auditable
+              # downstream (which root / scene ids were actually evaluated)
+              "data_source": dcfg.source,
+              "data_root": dcfg.root,
+              "scene_offset": dcfg.scene_offset,
+              "num_scenes": dcfg.num_scenes}
     print(json.dumps(result))
 
 

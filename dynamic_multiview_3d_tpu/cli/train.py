@@ -25,6 +25,13 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["shard_map", "auto"])
     p.add_argument("--profile-dir", default=None,
                    help="capture an xprof trace of a few steps here")
+    p.add_argument("--profile-steps", nargs=2, type=int, default=(10, 15),
+                   metavar=("START", "STOP"),
+                   help="step window traced into --profile-dir (snaps to "
+                        "dispatch boundaries when steps_per_dispatch > 1)")
+    p.add_argument("--debug-nans", action="store_true",
+                   help="run under jax_debug_nans: raise at the first op "
+                        "that produces a NaN (utils.debugging.debug_mode)")
     return p
 
 
@@ -32,14 +39,21 @@ def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
     cfg = config_lib.get_config(args.preset, args.overrides)
 
+    import contextlib
+
     from dynamic_multiview_3d_tpu.train import loop as loop_lib
     from dynamic_multiview_3d_tpu.train import metrics as metrics_lib
+    from dynamic_multiview_3d_tpu.utils import debugging
 
     writer = metrics_lib.MetricsWriter(args.logdir)
+    guard = (debugging.debug_mode() if args.debug_nans
+             else contextlib.nullcontext())
     try:
-        state, metrics = loop_lib.train(cfg, writer=writer,
-                                        parallel_mode=args.parallel_mode,
-                                        profile_dir=args.profile_dir)
+        with guard:
+            state, metrics = loop_lib.train(
+                cfg, writer=writer, parallel_mode=args.parallel_mode,
+                profile_dir=args.profile_dir,
+                profile_steps=tuple(args.profile_steps))
         print({k: round(v, 5) for k, v in metrics.items()})
     finally:
         writer.close()

@@ -43,7 +43,14 @@ class ModelConfig:
                                      # nonlinearities run in f32 on the 6-ch
                                      # output. Set float32 explicitly for
                                      # bit-level head precision on a bf16 model
-                                     # (A/B-measured ΔPSNR < 1e-4 dB).
+                                     # (A/B-measured ΔPSNR < 1e-4 dB). NOTE:
+                                     # checkpoints serialized before this
+                                     # field existed load with bf16 heads
+                                     # (their config JSON has no heads_dtype)
+                                     # — re-evaluating such a model drifts by
+                                     # the measured <1e-4 dB; pass --set
+                                     # model.heads_dtype=float32 to reproduce
+                                     # pre-change numbers bit-for-bit.
 
     @property
     def heads_compute_dtype(self) -> str:

@@ -118,6 +118,26 @@ class FrameFolderScenes:
         poses = meta["poses"]
         t_avail = meta["seq_len"]
         t_len = min(cfg.seq_len, t_avail)
+        s = cfg.image_size
+
+        if not raw and meta["packed"]:
+            bank = self._packed(scene)                 # [V, T, H, W, 3] mmap
+            if bank.shape[2:4] == (s, s):
+                # f32 fast path: one C++ gather+normalize straight off the
+                # memory-mapped bank (native.gather_pack) — only the
+                # selected rows' pages are touched, no per-frame copies.
+                flat = bank.reshape(-1, *bank.shape[2:])
+                rows = np.concatenate([
+                    src_view * t_avail + t0 + np.arange(t_len),
+                    np.asarray(tgt_views) * t_avail + t0 + t_len - 1])
+                packed = native.gather_pack(flat, rows)
+                return {
+                    "image_seq": packed[:t_len],
+                    "src_poses": np.broadcast_to(
+                        poses[src_view], (t_len, 3)).astype(np.float32).copy(),
+                    "tgt_poses": poses[tgt_views].astype(np.float32),
+                    "tgt_images": packed[t_len:],
+                }
 
         frames = np.stack([
             self._read_frame(scene, src_view, t0 + t) for t in range(t_len)])
@@ -125,7 +145,6 @@ class FrameFolderScenes:
             self._read_frame(scene, int(v), t0 + t_len - 1)
             for v in tgt_views])
 
-        s = cfg.image_size
         if raw:
             # uint8 path: resize on host, normalize on device (pipeline.preprocess)
             image_seq = self._resize_u8(frames)

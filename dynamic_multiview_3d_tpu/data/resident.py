@@ -41,7 +41,9 @@ def fits_budget(source, cfg: DataConfig, num_shards: int = 1) -> bool:
     per-device HBM cost by the 'data' mesh size)."""
     try:
         metas = [source._meta(s) for s in source.scenes]
-    except Exception:
+    except (OSError, KeyError, ValueError, AttributeError):
+        # expected ineligibility: missing/corrupt meta files or a source
+        # without the packed-bank protocol. Anything else should surface.
         return False
     if not all(m.get("packed") for m in metas):
         return False

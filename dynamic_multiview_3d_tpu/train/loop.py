@@ -22,6 +22,7 @@ from dynamic_multiview_3d_tpu.parallel import mesh as mesh_lib
 from dynamic_multiview_3d_tpu.train import checkpoint as ckpt_lib
 from dynamic_multiview_3d_tpu.train import metrics as metrics_lib
 from dynamic_multiview_3d_tpu.train import step as step_lib
+from dynamic_multiview_3d_tpu.utils import profiling
 
 
 class FaultInjected(RuntimeError):
@@ -66,6 +67,16 @@ def train(cfg: config_lib.Config, *, writer: metrics_lib.MetricsWriter | None
                 raise ValueError(
                     f"train.{nm}={getattr(cfg.train, nm)} must be a "
                     f"multiple of train.steps_per_dispatch={spd}")
+        if cfg.train.fail_after_step >= 0 \
+                and (cfg.train.fail_after_step + 1) % spd:
+            # failure injection is dispatch-granular: the forced checkpoint
+            # lands at a dispatch boundary, so a misaligned threshold would
+            # silently run up to spd-1 extra optimizer steps first.
+            raise ValueError(
+                f"train.fail_after_step={cfg.train.fail_after_step}: "
+                f"fail_after_step+1 must be a multiple of "
+                f"steps_per_dispatch={spd} (failure fires at dispatch "
+                "boundaries)")
 
     from dynamic_multiview_3d_tpu.data import pipeline as pipeline_lib
     grain_iter = None
@@ -131,13 +142,10 @@ def train(cfg: config_lib.Config, *, writer: metrics_lib.MetricsWriter | None
     # one iteration = one host dispatch = `spd` optimizer steps (spd=1: the
     # classic loop; spd>1: the t5x-style scanned host loop). `end` is the
     # number of completed optimizer steps after the dispatch.
-    tracing = False
+    trace = profiling.TraceWindow(profile_dir, profile_steps)
     for step in range(start_step, cfg.train.num_steps, spd):
         end = step + spd
-        # profile window snaps to dispatch boundaries when spd > 1
-        if profile_dir and not tracing and step <= profile_steps[0] < end:
-            jax.profiler.start_trace(profile_dir)
-            tracing = True
+        trace.maybe_start(step, end)
         host_batch = batch_for_step(step)
         if preview_batch is None:
             if resident is not None:   # host pixels for summaries only
@@ -151,13 +159,11 @@ def train(cfg: config_lib.Config, *, writer: metrics_lib.MetricsWriter | None
             mesh, host_batch,
             spec=P(None, "data") if spd > 1 else None)
         state, metrics = step_fn(state, batch)
-        if tracing and end >= profile_steps[1]:
-            jax.block_until_ready(metrics)
-            jax.profiler.stop_trace()
-            tracing = False
+        trace.maybe_stop(end, block_on=metrics)
 
         if cfg.train.fail_after_step >= 0 and end > cfg.train.fail_after_step:
             # flush a checkpoint exactly as a healthy run would have, then die
+            trace.close()
             mgr.save(end, args=ocp.args.StandardSave(state), force=True)
             mgr.wait_until_finished()
             if grain_iter is not None:
@@ -186,6 +192,7 @@ def train(cfg: config_lib.Config, *, writer: metrics_lib.MetricsWriter | None
         if saved and grain_iter is not None:
             _save_grain_state(cfg.train.ckpt_dir, end, grain_iter)
 
+    trace.close()
     mgr.wait_until_finished()
     # Export in the Model.from_checkpoint format for eval/predict (T5).
     if jax.process_index() == 0:
@@ -296,6 +303,21 @@ def _maybe_resident(cfg: config_lib.Config, data_source, mesh,
             "data.device_resident=on needs a packed single-process frames "
             "dataset within data.resident_budget_mb")
     if not eligible:
+        # The host-pixel path leaks ~batch-bytes/step through this
+        # sandbox's relay plugin (BASELINE.md) — a long run silently
+        # landing here is exactly what OOM-killed round 2's host. Warn
+        # when residency was plausible (a frames dataset) but auto
+        # resolved to OFF; host_rss_mb in the metrics is the tripwire.
+        if mode == "auto" and cfg.data.source == "frames":
+            import warnings
+            why = ("multi-process" if jax.process_count() > 1
+                   else "banks not packed/uniform or over "
+                        "data.resident_budget_mb")
+            warnings.warn(
+                f"data.device_resident=auto resolved to OFF ({why}); "
+                "training will stream host pixels every step — watch "
+                "host_rss_mb for transfer-buffer leaks on long runs",
+                stacklevel=2)
         return None
     return resident_lib.ResidentFrames(data_source, cfg.data,
                                        sharding=mesh_lib.replicate(mesh))

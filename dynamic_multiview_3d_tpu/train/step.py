@@ -108,6 +108,12 @@ def make_train_step(cfg: Config, mesh=None, mode: str = "shard_map",
     apply_fn = apply_fn or DMV3D(cfg.model).apply
 
     spd = cfg.train.steps_per_dispatch
+    if cfg.data.device_sampling and resident is None:
+        # loop.train raises the same way; direct callers (benchmarks,
+        # __graft_entry__) would otherwise crash opaquely inside
+        # preprocess on a None batch.
+        raise ValueError("data.device_sampling requires a device-resident "
+                         "dataset (pass resident=)")
     device_sampling = bool(cfg.data.device_sampling and resident is not None)
     sample_meta = resident.sample_meta() if device_sampling else None
     bsz = cfg.data.batch_size

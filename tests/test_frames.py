@@ -101,6 +101,26 @@ def test_packed_format_matches_png(tmp_path):
         np.testing.assert_array_equal(ea[key], eb[key])
 
 
+def test_packed_f32_gather_path_matches_per_frame(tmp_path):
+    """The f32 fast path (native.gather_pack off the mmap bank, taken when
+    packed + no resize) must equal the generic per-frame read path."""
+    from dynamic_multiview_3d_tpu.data.frames import (FrameFolderScenes,
+                                                      export_synthetic)
+    from dynamic_multiview_3d_tpu.config import DataConfig
+    kw = dict(num_scenes=2, image_size=32, num_views=3, seq_len=3,
+              dynamic=True, seed=5)
+    export_synthetic(str(tmp_path / "pk"), fmt="packed", **kw)
+    export_synthetic(str(tmp_path / "png"), fmt="png", **kw)
+    dc = lambda root: DataConfig(source="frames", root=root, image_size=32,
+                                 seq_len=2, num_targets=2, seed=5)
+    fast = FrameFolderScenes(dc(str(tmp_path / "pk")))
+    slow = FrameFolderScenes(dc(str(tmp_path / "png")))
+    for i in (0, 3, 7):
+        ef, es = fast.example(i), slow.example(i)
+        for key in ef:
+            np.testing.assert_allclose(ef[key], es[key], atol=1e-6)
+
+
 def test_scene_offset_gives_disjoint_scenes(tmp_path):
     from dynamic_multiview_3d_tpu.data.frames import export_synthetic
     export_synthetic(str(tmp_path / "d"), num_scenes=1, image_size=32,
