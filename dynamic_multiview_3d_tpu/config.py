@@ -32,7 +32,11 @@ class ModelConfig:
     warp_precision: str = "fast"     # "fast": 1-pass bf16 MXU (exact one-hots,
                                      # image sees bf16); "exact": f32 3-pass
     remat_scan: bool = False         # jax.checkpoint the recurrent scan body
-    synthesis: str = "flow"          # "flow" (warp+mask+rgb) | "depth" (reproject)
+    synthesis: str = "flow"          # "flow" (warp last frame + mask + rgb)
+                                     # | "multiflow" (warp EVERY source frame
+                                     #   with per-source flow + confidence
+                                     #   softmax blend — true multiview)
+                                     # | "depth" (reprojection)
     dtype: str = "bfloat16"          # compute dtype (params stay float32)
     heads_dtype: str = ""            # head-conv compute dtype; "" follows
                                      # model.dtype. bfloat16 (the effective

@@ -40,6 +40,11 @@ def _features(cfg: ModelConfig, level: int) -> int:
     return min(cfg.base_features * (2 ** level), cfg.max_features)
 
 
+# Tests monkeypatch this to run the Pallas synthesis path in interpret mode
+# on the CPU backend (parity coverage without a chip).
+_PALLAS_INTERPRET = False
+
+
 def _dtype(cfg: ModelConfig):
     return jnp.dtype(cfg.dtype)
 
@@ -126,7 +131,7 @@ class Decoder(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, skips: Sequence[jnp.ndarray],
-                 k: int = 1):
+                 k: int = 1, num_sources: int = 1):
         cfg = self.cfg
         dt = _dtype(cfg)
         x = x.astype(dt)
@@ -166,6 +171,26 @@ class Decoder(nn.Module):
         # (~0.4% relative) differs from the float32 setting.
         dth = jnp.dtype(cfg.heads_compute_dtype)
         xf = x.astype(dth)
+        if cfg.synthesis == "multiflow":
+            # Per-source heads (SURVEY.md R9 extended to true multiview):
+            # one conv emits S flow fields + S confidence logits alongside
+            # mask/rgb — every source frame gets its own warp, and the
+            # confidences drive the softmax blend in the model's composite.
+            s = num_sources
+            hm = nn.Conv(3 * s + 4, (3, 3), padding="SAME", dtype=dth,
+                         name="heads_multi")(xf).astype(jnp.float32)
+            n, hh2, ww2 = hm.shape[:3]
+            flow = (jnp.tanh(hm[..., :2 * s]).reshape(n, hh2, ww2, s, 2)
+                    * (cfg.max_flow * cfg.image_size))
+            out = {"flow": flow,                       # [N, H, W, S, 2]
+                   "conf": hm[..., 2 * s:3 * s],       # [N, H, W, S] logits
+                   "mask": nn.sigmoid(hm[..., 3 * s:3 * s + 1]),
+                   "rgb": jnp.tanh(hm[..., 3 * s + 1:3 * s + 4])}
+            if cfg.predict_depth:
+                raw = nn.Conv(1, (3, 3), padding="SAME", dtype=dth,
+                              name="depth_head")(xf).astype(jnp.float32)
+                out["depth"] = nn.softplus(raw)[..., 0] + 0.1
+            return out
         h3 = nn.Conv(6, (3, 3), padding="SAME", dtype=dth,
                      name="heads")(xf).astype(jnp.float32)
         flow = jnp.tanh(h3[..., 0:2]) * (cfg.max_flow * cfg.image_size)
@@ -241,14 +266,25 @@ class DMV3D(nn.Module):
         if cfg.rnn == "lstm":
             state = ConvLSTMCell.hidden(state, cfg.gru_features)
 
-        # --- pose conditioning: relative code from last source view to each
-        # target; fold K into batch for one big decoder pass.
+        # --- pose conditioning: relative code from source view(s) to each
+        # target; fold K into batch for one big decoder pass. Multiflow
+        # conditions on EVERY source pose (the decoder predicts a warp per
+        # source, so it needs to know where each one sits relative to the
+        # target); the single-warp paths keep the last-source code.
         src_last = src_poses[:, -1]                                # [B, 3]
-        pose_code = pose_ops.encode_pose(
-            jnp.repeat(src_last, k, axis=0),
-            tgt_poses.reshape(b * k, -1),
-            mode=cfg.pose_mode,
-        )                                                          # [B*K, P]
+        if cfg.synthesis == "multiflow":
+            src_rep = jnp.repeat(src_poses, k, axis=0)             # [B*K,T,3]
+            tgt_rep = jnp.broadcast_to(
+                tgt_poses.reshape(b * k, 1, -1), src_rep.shape)
+            pose_code = pose_ops.encode_pose(
+                src_rep, tgt_rep, mode=cfg.pose_mode
+            ).reshape(b * k, -1)                                   # [B*K,T*P]
+        else:
+            pose_code = pose_ops.encode_pose(
+                jnp.repeat(src_last, k, axis=0),
+                tgt_poses.reshape(b * k, -1),
+                mode=cfg.pose_mode,
+            )                                                      # [B*K, P]
 
         def tile_k(x):
             return jnp.repeat(x, k, axis=0)
@@ -258,7 +294,14 @@ class DMV3D(nn.Module):
         # its skip-branch convs over the K targets internally.
         state_k = tile_k(state)
         z = PoseBottleneck(cfg, name="bottleneck")(state_k, pose_code)
-        heads = Decoder(cfg, name="decoder")(z, skips, k)
+        heads = Decoder(cfg, name="decoder")(z, skips, k, num_sources=t)
+
+        impl = "pallas" if (cfg.use_pallas
+                            and jax.default_backend() == "tpu") else "jnp"
+        mask = heads["mask"]
+
+        if cfg.synthesis == "multiflow":
+            return self._multiflow_composite(heads, image_seq, impl)
 
         # --- synthesis: appearance-flow warp of the last frame + compositing.
         # On TPU with flow synthesis the warp, the composite AND the
@@ -266,9 +309,6 @@ class DMV3D(nn.Module):
         # (flow_warp_composite) — heads -> warp -> composite never
         # round-trips HBM. Other paths compose the same math in XLA.
         last_frame = tile_k(image_seq[:, -1].astype(jnp.float32))
-        impl = "pallas" if (cfg.use_pallas
-                            and jax.default_backend() == "tpu") else "jnp"
-        mask = heads["mask"]
         view = None
         if impl == "pallas" and cfg.synthesis == "flow":
             from dynamic_multiview_3d_tpu.kernels import grid_sample_pallas
@@ -324,3 +364,82 @@ class DMV3D(nn.Module):
             view = mask * warped + (1.0 - mask) * heads["rgb"]
         out["view"] = view.reshape(b, k, h, w, 3)
         return out
+
+    def _multiflow_composite(self, heads: dict, image_seq: jnp.ndarray,
+                             impl: str) -> dict:
+        """True-multiview synthesis (cfg.synthesis='multiflow'): warp EVERY
+        source frame into the target view with its own predicted flow, blend
+        by learned per-source confidence (softmax over sources, out-of-bounds
+        sources excluded), and mask-gate against the hallucinated rgb.
+
+        Single-warp synthesis can only resample the last frame — appearance
+        revealed in earlier frames reaches the output via the bottleneck GRU
+        state alone, which caps quality (~19.9 dB static at 128²,
+        BASELINE.md). Here the whole sequence contributes *appearance*, which
+        is the point of a "dynamic multiview" model (SURVEY.md R9+R12).
+
+        TPU layout: the warp batches as N = B*T source images, each sampled
+        at its K*H*W target pixels — the K target axis rides the sampler's
+        pixel/lane axis, so source frames are never duplicated across
+        targets in HBM. The softmax blend is an elementwise chain XLA fuses.
+        """
+        cfg = self.cfg
+        if cfg.predict_depth:
+            raise ValueError("synthesis='multiflow' does not combine with "
+                             "predict_depth (use synthesis='depth' for the "
+                             "reprojection path)")
+        b, t, h, w, _ = image_seq.shape
+        flow = heads["flow"]                              # [B*K, H, W, T, 2]
+        conf = heads["conf"]                              # [B*K, H, W, T]
+        k = flow.shape[0] // b
+        src = image_seq.astype(jnp.float32).reshape(b * t, h, w, 3)
+
+        # continuous source-pixel coords per (b, t, k, pixel)
+        f_btk = flow.reshape(b, k, h, w, t, 2).transpose(0, 4, 1, 2, 3, 5)
+        coords = sampling.base_grid(h, w, jnp.float32)[None, None, None] \
+            + f_btk                                       # [B, T, K, H, W, 2]
+        valid = ((coords[..., 0] >= 0) & (coords[..., 0] <= w - 1)
+                 & (coords[..., 1] >= 0) & (coords[..., 1] <= h - 1)
+                 ).astype(jnp.float32)                    # [B, T, K, H, W]
+
+        if impl == "pallas":
+            from dynamic_multiview_3d_tpu.kernels import grid_sample_pallas
+            if not grid_sample_pallas.kernel_supported(3, k * h * w):
+                impl = "jnp"
+        if impl == "pallas":
+            cc = coords.reshape(b * t, k * h * w, 2)
+            warped = grid_sample_pallas.sample_pixel_coords(
+                jnp.transpose(src, (0, 3, 1, 2)), cc[..., 0], cc[..., 1],
+                "border", _PALLAS_INTERPRET, cfg.warp_precision)  # [B*T,3,KHW]
+            warped = warped.reshape(b, t, 3, k, h, w) \
+                .transpose(0, 3, 4, 5, 1, 2)              # [B, K, H, W, T, 3]
+        else:
+            grid = sampling.normalize_coords(
+                coords.reshape(b * t, k * h, w, 2), h, w, align_corners=True)
+            warped = sampling.grid_sample(
+                src, grid, align_corners=True, padding_mode="border")
+            warped = warped.reshape(b, t, k, h, w, 3) \
+                .transpose(0, 2, 3, 4, 1, 5)              # [B, K, H, W, T, 3]
+
+        valid = valid.transpose(0, 2, 3, 4, 1)            # [B, K, H, W, T]
+        conf = conf.reshape(b, k, h, w, t)
+        # exclude out-of-bounds sources from the blend: a -30 logit bias is
+        # an effective -inf; if ALL sources are invalid the blend degrades
+        # to uniform and the (validity-supervised) mask closes there anyway.
+        wts = jax.nn.softmax(conf + (valid - 1.0) * 30.0, axis=-1)
+        multi = jnp.sum(wts[..., None] * warped, axis=-2) # [B, K, H, W, 3]
+        any_valid = jnp.max(valid, axis=-1)               # [B, K, H, W]
+
+        mask = heads["mask"].reshape(b, k, h, w, 1)
+        rgb = heads["rgb"].reshape(b, k, h, w, 3)
+        view = mask * multi + (1.0 - mask) * rgb
+        return {
+            "view": view,
+            "warped": multi,
+            "mask": mask,
+            "rgb": rgb,
+            "flow": flow.reshape(b, k, h, w, t, 2)
+                        .transpose(0, 1, 4, 2, 3, 5),     # [B, K, T, H, W, 2]
+            "flow_valid": any_valid,
+            "conf_weights": wts,                          # [B, K, H, W, T]
+        }
