@@ -78,7 +78,51 @@ def _pixel_block(total: int, target: int = 2048) -> int:
     return best
 
 
-def _plan(total: int) -> int:
+# Scoped-VMEM planning. The BACKWARD kernel is the binding constraint, and
+# its true per-grid-step footprint is Mosaic's to decide (input/output
+# pipelining buffers, matmul staging), so the planner is calibrated
+# EMPIRICALLY: _VALIDATED_PB records the largest pixel block per
+# (mode, H, W) that compiled AND ran on v5e hardware (probed 2026-08-17;
+# the probe also mapped the failure boundary — exact 256² OOMs scoped VMEM
+# at pb=1024 with 19.9 MB and 512² at pb=512 with 25.3 MB against the
+# 16 MB limit). "fast" (single-pass bf16 matmuls) is strictly lighter than
+# "exact", so a fast lookup falls back to the exact entry. Off-table shapes
+# use a conservative linear model fitted to the measured Mosaic stack
+# sizes, shrinking pb until it fits — or rejecting the kernel outright
+# (kernel_supported), so big shapes are *decided* onto the jnp path
+# instead of discovered as Mosaic VMEM failures.
+_VALIDATED_PB = {
+    ("exact", 64, 64): 2048,
+    ("exact", 128, 128): 2048,
+    ("exact", 256, 256): 512,
+    ("exact", 512, 512): 256,
+    ("fast", 256, 256): 2048,
+    ("fast", 512, 512): 512,
+}
+
+VMEM_BUDGET_WORDS = 4 * 1024 * 1024        # 16 MB scoped VMEM, in f32 words
+
+
+def _validated_cap(mode: str, h: int, w: int, c: int) -> int | None:
+    if c > 4:        # table was probed at c=3; RGB(+A) images only
+        return None
+    cap = _VALIDATED_PB.get((mode, h, w))
+    if cap is None and mode == "fast":      # fast fits wherever exact does
+        cap = _VALIDATED_PB.get(("exact", h, w))
+    return cap
+
+
+def _vmem_words(c: int, h: int, w: int, pb: int) -> int:
+    """Conservative f32-word model of the backward kernel's Mosaic stack for
+    OFF-TABLE shapes, fitted to measured failures (c=3: 39.1 MB at
+    256²/pb2048, 19.9 MB at 256²/pb1024, 25.3 MB at 512²/pb512): the
+    image-sized buffers (img + dimg with pipelining, matmul staging) scale
+    with C·H·W; the tent/grad/temp matrices scale with pb·(H+W)."""
+    return (5 * c + 2) * h * w // 2 + 10 * pb * (h + w)
+
+
+def _plan(total: int, c: int | None = None, h: int | None = None,
+          w: int | None = None, mode: str = "exact") -> int:
     """Pixel-block size pb for coords shaped [N, nb, 1, pb], block (1,1,1,pb).
 
     Pixels ride the LANE axis end to end: the one-hot weights are built
@@ -87,10 +131,26 @@ def _plan(total: int) -> int:
     axis into a (1, P) lane vector — no relayouts, and none of the 128x
     VMEM/DMA padding a (P, 1) sublane layout would cost. pb must divide
     ``total`` and (compiled) be a multiple of 128 — callers fall back to the
-    jnp path otherwise (kernel_supported)."""
-    if total % 128 == 0:
-        return 128 * _pixel_block(total // 128, target=16)   # pb <= 2048
-    return total                                             # single block
+    jnp path otherwise (kernel_supported).
+
+    With image dims (c, h, w) given, pb is additionally capped by the
+    hardware-validated table for (mode, h, w), else shrunk until the
+    conservative VMEM model fits; kernel_supported rejects shapes where
+    even pb=128 won't fit."""
+    if total % 128 != 0:
+        return total                                         # single block
+    pb = 128 * _pixel_block(total // 128, target=16)         # pb <= 2048
+    if c is None:
+        return pb
+    cap = _validated_cap(mode, h, w, c)
+    if cap is not None:
+        while pb > cap:
+            # next-smaller 128-multiple divisor of total
+            pb = 128 * _pixel_block(total // 128, target=pb // 128 - 1)
+        return pb
+    while pb > 128 and _vmem_words(c, h, w, pb) > VMEM_BUDGET_WORDS:
+        pb = 128 * _pixel_block(total // 128, target=pb // 128 - 1)
+    return pb
 
 
 def _tent_t(coord_row, size, padding_mode):
@@ -259,7 +319,7 @@ def _bwd_kernel(ix_ref, iy_ref, img_ref, dout_ref,
 def _call_fwd(img_nchw, ix, iy, padding_mode, interpret, mode):
     n, c, h, w = img_nchw.shape
     total = ix.shape[1]
-    pb = _plan(total)
+    pb = _plan(total, c, h, w, mode)
     nb = total // pb
     ix4 = ix.reshape(n, nb, 1, pb)
     iy4 = iy.reshape(n, nb, 1, pb)
@@ -291,7 +351,7 @@ def _call_fwd(img_nchw, ix, iy, padding_mode, interpret, mode):
 def _call_bwd(img_nchw, ix, iy, dout, padding_mode, interpret, mode):
     n, c, h, w = img_nchw.shape
     total = ix.shape[1]
-    pb = _plan(total)
+    pb = _plan(total, c, h, w, mode)
     nb = total // pb
     ix4 = ix.reshape(n, nb, 1, pb)
     iy4 = iy.reshape(n, nb, 1, pb)
@@ -325,7 +385,7 @@ def _call_fwd_composite(img_nchw, ix, iy, mask, rgb, padding_mode, interpret,
     """mask [N, P], rgb [N, C, P] -> (view, warped [N,C,P], valid [N,P])."""
     n, c, h, w = img_nchw.shape
     total = ix.shape[1]
-    pb = _plan(total)
+    pb = _plan(total, c, h, w, mode)
     nb = total // pb
     ix4 = ix.reshape(n, nb, 1, pb)
     iy4 = iy.reshape(n, nb, 1, pb)
@@ -400,18 +460,30 @@ def _sample_bwd(padding_mode, interpret, precision, res, dout):
 sample_pixel_coords.defvjp(_sample_fwd, _sample_bwd)
 
 
-def kernel_supported(channels: int, total_pixels: int | None = None) -> bool:
+def kernel_supported(channels: int, total_pixels: int | None = None,
+                     height: int | None = None, width: int | None = None,
+                     mode: str = "exact") -> bool:
     """Whether the Pallas kernel handles this shape (else: jnp fallback).
 
     channels bounds the per-grid-step image VMEM tile; non-128-multiple
     pixel counts are only safe as a single block up to
-    MAX_SINGLE_BLOCK_PIXELS (see _plan).
+    MAX_SINGLE_BLOCK_PIXELS (see _plan). With image dims given, the shape
+    must either sit in the hardware-validated (mode, h, w) table or fit the
+    conservative VMEM model at the planned pixel block — shapes that can't
+    fit even at pb=128 are *decided* onto the jnp path instead of
+    discovered as Mosaic VMEM failures.
     """
     if channels > MAX_KERNEL_CHANNELS:
         return False
     if (total_pixels is not None and total_pixels % 128 != 0
             and total_pixels > MAX_SINGLE_BLOCK_PIXELS):
         return False
+    if height is not None and total_pixels is not None:
+        if _validated_cap(mode, height, width, channels) is not None:
+            return True
+        pb = _plan(total_pixels, channels, height, width, mode)
+        if _vmem_words(channels, height, width, pb) > VMEM_BUDGET_WORDS:
+            return False
     return True
 
 
@@ -425,7 +497,7 @@ def grid_sample(image, grid, *, align_corners=True, padding_mode="zeros",
     from dynamic_multiview_3d_tpu.ops import sampling
     n, h, w, c = image.shape
     ho, wo = grid.shape[1:3]
-    if not kernel_supported(c, ho * wo):
+    if not kernel_supported(c, ho * wo, h, w, precision):
         return sampling._grid_sample_jnp(image, grid, align_corners,
                                          padding_mode)
     ix, iy = sampling.unnormalize_coords(grid.astype(jnp.float32), h, w,
@@ -444,7 +516,7 @@ def flow_warp(image, flow, *, padding_mode="border", interpret=False,
     pixel coords = base grid + flow feed the kernel directly."""
     from dynamic_multiview_3d_tpu.ops import sampling
     n, h, w, c = image.shape
-    if not kernel_supported(c, h * w):
+    if not kernel_supported(c, h * w, h, w, precision):
         return sampling.flow_warp(image, flow, padding_mode=padding_mode,
                                   impl="jnp")
     coords = sampling.base_grid(h, w, jnp.float32)[None] \
@@ -520,7 +592,7 @@ def flow_warp_composite(image, flow, mask, rgb, *, padding_mode="border",
     """
     from dynamic_multiview_3d_tpu.ops import sampling
     n, h, w, c = image.shape
-    if not kernel_supported(c, h * w):
+    if not kernel_supported(c, h * w, h, w, precision):
         warped = sampling.flow_warp(image.astype(jnp.float32), flow,
                                     padding_mode=padding_mode, impl="jnp")
         valid = sampling.in_bounds_mask(flow.astype(jnp.float32), h, w)

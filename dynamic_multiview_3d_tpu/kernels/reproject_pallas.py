@@ -84,7 +84,7 @@ def _host_params(intrinsics, t_tgt2src):
 def _call_fused(img_nchw, depth, params, interpret):
     n, c, h, w = img_nchw.shape
     total = h * w
-    pb = gsp._plan(total)
+    pb = gsp._plan(total, c, h, w)
     nb = total // pb
     depth4 = depth.reshape(n, nb, 1, pb)
     kernel = functools.partial(_fused_kernel, channels=c, h=h, w=w, pb=pb)
@@ -158,7 +158,7 @@ def depth_reproject_sample(img_nhwc, depth, intrinsics, t_tgt2src,
     Same semantics as ops.reproject.depth_reproject_sample (zeros padding).
     """
     n, h, w, c = img_nhwc.shape
-    if not gsp.kernel_supported(c, h * w):
+    if not gsp.kernel_supported(c, h * w, h, w):
         return _reference(img_nhwc, depth, intrinsics, t_tgt2src)
     params = _host_params(intrinsics.astype(jnp.float32),
                           t_tgt2src.astype(jnp.float32))
@@ -179,7 +179,7 @@ def _bwd(interpret, res, cotangents):
     img, depth, intrinsics, t = res
     d_view, _ = cotangents                 # `valid` is a step fn: zero grad
     n, h, w, c = img.shape
-    if not gsp.kernel_supported(c, h * w):
+    if not gsp.kernel_supported(c, h * w, h, w):
         _, vjp = jax.vjp(
             lambda i, d: _reference(i, d, intrinsics, t)[0], img, depth)
         dimg, ddepth = vjp(d_view)

@@ -404,7 +404,8 @@ class DMV3D(nn.Module):
 
         if impl == "pallas":
             from dynamic_multiview_3d_tpu.kernels import grid_sample_pallas
-            if not grid_sample_pallas.kernel_supported(3, k * h * w):
+            if not grid_sample_pallas.kernel_supported(
+                    3, k * h * w, h, w, cfg.warp_precision):
                 impl = "jnp"
         if impl == "pallas":
             cc = coords.reshape(b * t, k * h * w, 2)
