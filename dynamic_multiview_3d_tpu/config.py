@@ -69,8 +69,11 @@ class ModelConfig:
 class DataConfig:
     """Input pipeline (SURVEY.md R1-R5 -> T1)."""
 
-    source: str = "synthetic"        # "synthetic" | "frames" (frame-folder video)
-    root: str = ""                   # dataset root for source="frames"
+    source: str = "synthetic"        # "synthetic" | "frames" (frame-folder
+                                     # video) | "shapenet_dir" (the published
+                                     # 3D-R2N2 ShapeNet renderings layout,
+                                     # ingested without conversion)
+    root: str = ""                   # dataset root for frames/shapenet_dir
     image_size: int = 128
     seq_len: int = 1                 # T: input video frames
     num_targets: int = 1             # K: novel views per example
