@@ -77,10 +77,47 @@ def main() -> None:
         state2, m2 = step_res(state2, None)
         loss_res = float(m2["loss/total"])
 
+    # --- phase 3: per-process streaming-Grain iterator state checkpoint.
+    # Each live process streams its own shard, saves its iterator state
+    # through the loop's per-process grain-state files (shared ckpt_dir,
+    # filenames keyed by process_index), restores into a FRESH iterator,
+    # and must continue bit-identically to the uninterrupted stream.
+    stream_ok = None
+    stream_digest = None
+    if len(sys.argv) > 4:
+        import hashlib
+
+        import numpy as np
+
+        from dynamic_multiview_3d_tpu.train import loop as loop_lib
+
+        ckpt_dir = sys.argv[4]
+        it_s = pipeline_lib.make_grain_iterator(cfg.data)
+        for _ in range(3):
+            next(it_s)                              # consume a prefix
+        loop_lib._save_grain_state(ckpt_dir, 3, it_s)
+        expect = [next(it_s) for _ in range(2)]     # uninterrupted tail
+
+        it_r = pipeline_lib.make_grain_iterator(cfg.data)
+        loop_lib._restore_grain_state(ckpt_dir, 3, it_r)
+        got = [next(it_r) for _ in range(2)]
+
+        stream_ok = all(
+            sorted(e.keys()) == sorted(g.keys())
+            and all(np.array_equal(e[k], g[k]) for k in e)
+            for e, g in zip(expect, got))
+        h = hashlib.sha256()
+        for b in expect:
+            for k in sorted(b):
+                h.update(np.ascontiguousarray(b[k]).tobytes())
+        stream_digest = h.hexdigest()
+
     print(json.dumps({"pid": pid,
                       "loss": float(metrics["loss/total"]),
                       "l1": float(metrics["loss/l1"]),
-                      "loss_resident": loss_res}), flush=True)
+                      "loss_resident": loss_res,
+                      "stream_ok": stream_ok,
+                      "stream_digest": stream_digest}), flush=True)
     jax.distributed.shutdown()
 
 

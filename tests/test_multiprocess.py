@@ -43,9 +43,10 @@ def test_two_process_distributed_matches_single(tmp_path):
     frames_lib.export_synthetic(res_root, num_scenes=8, image_size=32,
                                 num_views=3, seq_len=2, fmt="packed")
 
+    grain_dir = str(tmp_path / "grain_ckpt")
     procs = [
         subprocess.Popen([sys.executable, child, str(port), str(pid),
-                          res_root],
+                          res_root, grain_dir],
                          stdout=subprocess.PIPE, stderr=subprocess.PIPE,
                          env=env, cwd=REPO, text=True)
         for pid in (0, 1)
@@ -63,6 +64,15 @@ def test_two_process_distributed_matches_single(tmp_path):
     res_losses = {o["pid"]: o["loss_resident"] for o in outs}
     assert res_losses[0] is not None
     np.testing.assert_allclose(res_losses[0], res_losses[1], rtol=1e-6)
+
+    # phase 3: BOTH live processes saved + restored their own streaming
+    # Grain iterator state (per-process files in one shared ckpt_dir) and
+    # continued bit-identically; their post-restore streams are disjoint
+    # shards, so the digests must differ.
+    assert all(o["stream_ok"] for o in outs), outs
+    assert outs[0]["stream_digest"] != outs[1]["stream_digest"]
+    saved = sorted(os.listdir(tmp_path / "grain_ckpt"))
+    assert saved == ["grain_state_3_p0.json", "grain_state_3_p1.json"], saved
 
     # single-process oracle: the union of both processes' Grain shards
     # through the single-device step gives the same loss
