@@ -295,19 +295,48 @@ def bench_c5():
     return result
 
 
-BENCHES = {"c1": bench_c1, "c2": bench_c2, "c3": bench_c3, "c4": bench_c4,
-           "c4e2e": bench_c4_e2e, "c5": bench_c5}
+def bench_c1_cpu():
+    """The literal BASELINE.json:7 config — c1 forward on the CPU *backend*.
+
+    Every other row measures the rebuild on its TPU target; this one runs
+    the SAME JAX model on CPU (the reference's hardware class), the honest
+    companion to the torch-CPU stand-in (torch_oracle.py). Runs in a
+    subprocess so the parent process's backend selection is untouched."""
+    import subprocess
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("XLA_FLAGS", None)
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--print-only", "--cpu",
+         "c1"],
+        capture_output=True, text=True, env=env, cwd=REPO, check=True)
+    result = json.loads(out.stdout.strip().splitlines()[-1])
+    result["config"] = "c1_single64_cpu"
+    return result
+
+
+BENCHES = {"c1": bench_c1, "c1cpu": bench_c1_cpu, "c2": bench_c2,
+           "c3": bench_c3, "c4": bench_c4, "c4e2e": bench_c4_e2e,
+           "c5": bench_c5}
 
 
 def main(argv):
+    print_only = argv and argv[0] == "--print-only"
+    if print_only:
+        argv = argv[1:]
+    if argv and argv[0] == "--cpu":
+        argv = argv[1:]
+        # env alone is not enough: this machine's sitecustomize pins the
+        # axon (TPU) platform, so override it before first backend use.
+        jax.config.update("jax_platforms", "cpu")
     names = argv or list(BENCHES)
     out_path = os.path.join(REPO, "benchmarks", "results.jsonl")
-    with open(out_path, "a") as f:
-        for name in names:
-            result = BENCHES[name]()
-            result["time"] = time.time()
-            print(json.dumps(result))
-            f.write(json.dumps(result) + "\n")
+    for name in names:
+        result = BENCHES[name]()
+        result["time"] = time.time()
+        print(json.dumps(result))
+        if not print_only:
+            with open(out_path, "a") as f:
+                f.write(json.dumps(result) + "\n")
 
 
 if __name__ == "__main__":
