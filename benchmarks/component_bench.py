@@ -1,13 +1,18 @@
-"""Per-component timing of the c2 forward on the real chip.
+"""Per-component timing of a preset's forward on the real chip.
 
-Times each model stage separately (encoder / pose bottleneck / decoder /
-heads / warp / composite) with the relay-proof loop-differencing method
-(docs/ARCHITECTURE.md §7: block_until_ready is a no-op through the axon
-relay, so run N iterations inside one jitted fori_loop with a
-data-dependent carry and difference N-vs-1 walls).
+    python benchmarks/component_bench.py [c2|c3|...]
+
+Times each model stage separately (encoder / recurrent scan / pose
+bottleneck / decoder / heads / warp / composite) with the relay-proof
+loop-differencing method (docs/ARCHITECTURE.md §7: block_until_ready is a
+no-op through the axon relay, so run N iterations inside one jitted
+fori_loop with a data-dependent carry and difference N-vs-1 walls).
+
+For dynamic presets (seq_len > 1) it additionally times the nn.scan
+temporal encode as a unit and the full fwd+bwd (grad through the remat
+scan) — the round-3 dynamic-path profile (VERDICT r2 #2).
 
 Also prints XLA cost-analysis FLOPs per component -> per-component MFU.
-Drives the round-2 profile-guided optimization (VERDICT.md next-round #1).
 """
 
 import json
@@ -64,8 +69,11 @@ def flops_of(fn, args):
         return float("nan")
 
 
-def main():
-    cfg = config_lib.get_config("c2")
+def main(preset="c2", *overrides):
+    """component_bench.py [preset] [section.field=value ...] — overrides
+    use the CLI --set syntax (e.g. model.up_order=norm_first) so decoder
+    A/B variants can be timed without a config edit."""
+    cfg = config_lib.get_config(preset, overrides)
     m = cfg.model
     b, k, t = cfg.data.batch_size, cfg.data.num_targets, cfg.data.seq_len
     size = m.image_size
@@ -136,6 +144,44 @@ def main():
             (frame_k, mask, rgbh)),
     }
 
+    if t > 1:
+        # Dynamic-path units (VERDICT r2 #2): the temporal nn.scan encode
+        # (encoder x T + GRU gates, state+skips in carry) and the full
+        # fwd+bwd — the training-relevant cost, dominated by
+        # grad-through-the-remat-scan. The scanned module is built exactly
+        # as DMV3D.__call__ builds it, applied with the model's own
+        # `recurrent` params.
+        from flax import linen as nn
+        from dynamic_multiview_3d_tpu.models.dmv3d import _RecurrentStep
+        from dynamic_multiview_3d_tpu.models.layers import (
+            ConvGRUCell, ConvLSTMCell)
+
+        cell = ConvLSTMCell if m.rnn == "lstm" else ConvGRUCell
+        h0 = cell.init_state(b, m.bottleneck_size, m.bottleneck_size,
+                             m.gru_features, dt)
+        skips0 = tuple(jnp.zeros(s, dt) for s in skip_shapes)
+        step_cls = nn.remat(_RecurrentStep) if m.remat_scan else _RecurrentStep
+        scan_mod = nn.scan(step_cls, variable_broadcast="params",
+                           split_rngs={"params": False},
+                           in_axes=1, out_axes=1)(m)
+
+        def scan_encode(p, s, e):
+            (state, sk), _ = scan_mod.apply({"params": p}, (h0, skips0),
+                                            s + e)
+            return (jnp.mean(state.astype(jnp.float32))
+                    + jnp.mean(sk[0].astype(jnp.float32)))
+
+        cases["scan_encode_T"] = (scan_encode, (params["recurrent"], seq))
+
+        def fwd_bwd(p, s, sr, tg, e):
+            def loss(pp):
+                return jnp.mean(module.apply(
+                    {"params": pp}, s + e, sr, tg)["view"] ** 2)
+            g = jax.grad(loss)(p)
+            return jnp.mean(g["bottleneck"]["pose_fc1"]["kernel"])
+
+        cases["fwd_bwd"] = (fwd_bwd, (params, seq, src, tgt))
+
     results = {}
     for name, (fn, args) in cases.items():
         dt_s = loop_time(fn, args)
@@ -157,4 +203,4 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    main(*sys.argv[1:])

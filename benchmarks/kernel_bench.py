@@ -102,6 +102,67 @@ def main(n=128, hw=128, c=3):
         results["jnp_fwd_ms"] / results["pallas_fwd_ms"], 2)
     results["fwdbwd_speedup_pallas"] = round(
         results["jnp_fwdbwd_ms"] / results["pallas_fwdbwd_ms"], 2)
+
+    # --- depth-reprojection path (VERDICT r2 #3: flow-kernel parity rows).
+    from dynamic_multiview_3d_tpu.kernels import reproject_pallas
+    from dynamic_multiview_3d_tpu.ops import pose as pose_ops
+    from dynamic_multiview_3d_tpu.ops import reproject as reproject_ops
+
+    depth = jnp.asarray(rng.uniform(1.5, 2.5, (n, hw, hw)).astype(np.float32))
+    intr = pose_ops.intrinsics_matrix(jnp.full((n,), float(hw)),
+                                      (hw - 1) / 2, (hw - 1) / 2)
+    pa = jnp.asarray(rng.uniform(0.1, 1.0, (n, 3)).astype(np.float32)
+                     + [0, 0, 1.5])
+    pb_ = jnp.asarray(rng.uniform(0.1, 1.0, (n, 3)).astype(np.float32)
+                      + [0, 0, 1.5])
+    rel = pose_ops.relative_transform(pose_ops.look_at_extrinsics(pa),
+                                      pose_ops.look_at_extrinsics(pb_))
+
+    def geo_fwd_body(kind, precision="exact"):
+        def body(acc):
+            d = depth + acc * 1e-9
+            if kind == "jnp":
+                v, _ = reproject_ops.depth_reproject_sample(
+                    img, d, intr, rel, padding_mode="zeros", impl="jnp")
+            elif kind == "pallas":
+                v, _ = reproject_pallas.depth_reproject_sample(
+                    img, d, intr, rel, False, precision)
+            else:                       # fused composite (in-kernel blend)
+                v, _, _ = reproject_pallas.depth_reproject_composite(
+                    img, d, intr, rel, mask, rgb, False, precision)
+            return jnp.mean(v)
+        return body
+
+    def geo_bwd_body(kind, precision="exact"):
+        def loss(d, m, r):
+            if kind == "jnp":
+                v, _ = reproject_ops.depth_reproject_sample(
+                    img, d, intr, rel, padding_mode="zeros", impl="jnp")
+                v = m * v + (1.0 - m) * r
+            elif kind == "pallas":
+                v, _ = reproject_pallas.depth_reproject_sample(
+                    img, d, intr, rel, False, precision)
+                v = m * v + (1.0 - m) * r
+            else:
+                v, _, _ = reproject_pallas.depth_reproject_composite(
+                    img, d, intr, rel, m, r, False, precision)
+            return jnp.mean(v ** 2)
+        def body(acc):
+            g = jax.grad(loss, argnums=(0, 1, 2))(depth + acc * 1e-9, mask,
+                                                  rgb)
+            return jnp.mean(g[0])
+        return body
+
+    for kind, prec in (("jnp", "exact"), ("pallas", "exact"),
+                       ("pallas", "fast"), ("fused", "exact"),
+                       ("fused", "fast")):
+        tag = f"geo_{kind}" if prec == "exact" else f"geo_{kind}_{prec}"
+        results[f"{tag}_fwd_ms"] = round(
+            loop_time(geo_fwd_body(kind, prec)) * 1e3, 3)
+        results[f"{tag}_fwdbwd_ms"] = round(
+            loop_time(geo_bwd_body(kind, prec), n_iters=10) * 1e3, 3)
+    results["geo_fwdbwd_speedup_pallas"] = round(
+        results["geo_jnp_fwdbwd_ms"] / results["geo_pallas_fwdbwd_ms"], 2)
     print(json.dumps(results))
 
 

@@ -26,6 +26,23 @@ class ModelConfig:
     pose_mode: str = "sincos"        # "sincos" (az/el/r) | "mat" (flat 4x4)
     norm: str = "group"              # "group" | "none"  (no batch stats -> DP-safe)
     up_kernel: int = 2               # decoder subpixel-upsample conv kernel
+    up_order: str = "d2s_first"      # "d2s_first": up-conv -> pixel shuffle
+                                     # -> norm/relu (round-2 layout) |
+                                     # "norm_first": normalize the 4 phases
+                                     # at LOW res (per-phase groups), relu,
+                                     # THEN shuffle — the transpose lands
+                                     # directly on the next conv's input
+                                     # where XLA can fold it (kills the
+                                     # standalone depth-to-space HBM op in
+                                     # the round-2 trace)
+    skip_fusion: str = "split"       # "split": conv_x(x) + conv_s(skip)
+                                     # with the skip branch run once per
+                                     # example [B] (round-2 layout) |
+                                     # "concat": one conv over
+                                     # [x, skip broadcast to B*K] — more
+                                     # MXU FLOPs but no materialized add
+                                     # feeding the norm (the 1.15 ms
+                                     # HBM-bound op in the round-2 trace)
     max_flow: float = 0.5            # flow head range as a fraction of image size
     predict_depth: bool = False      # enable depth head + depth-reprojection path
     use_pallas: bool = True          # Pallas kernels on TPU, jnp fallback elsewhere
@@ -76,6 +93,11 @@ class DataConfig:
     root: str = ""                   # dataset root for frames/shapenet_dir
     image_size: int = 128
     seq_len: int = 1                 # T: input video frames
+    src_views: str = "fixed"         # "fixed": one source camera films all T
+                                     # frames | "orbit": each frame comes
+                                     # from a DIFFERENT camera (true
+                                     # multiview evidence — pairs with
+                                     # model.synthesis="multiflow")
     num_targets: int = 1             # K: novel views per example
     batch_size: int = 16             # GLOBAL batch (split over the data mesh axis)
     num_scenes: int = 512            # synthetic: distinct procedural scenes

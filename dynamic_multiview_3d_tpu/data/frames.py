@@ -92,11 +92,18 @@ class FrameFolderScenes:
             cv2.resize(f, (s, s), interpolation=cv2.INTER_LINEAR)
             for f in frames])
 
-    def sample_indices(self, index: int) -> tuple[int, int, np.ndarray, int]:
+    def sample_indices(self, index: int) \
+            -> tuple[int, np.ndarray, np.ndarray, int]:
         """Deterministic draw for example ``index``:
-        (scene_i, src_view, tgt_views[K], t0). Shared by the host decode
-        path (example) and the HBM-resident gather path (data.resident) so
-        both produce the identical training stream."""
+        (scene_i, src_views[T], tgt_views[K], t0). Shared by the host
+        decode path (example) and the HBM-resident gather path
+        (data.resident) so both produce the identical training stream.
+
+        cfg.src_views="fixed": one camera films the whole sequence
+        (src_views is T copies of one draw). "orbit": frame t comes from
+        its OWN camera — the sequence carries true multiview evidence
+        (distinct views when V >= T), which is what multiflow synthesis
+        aggregates."""
         cfg = self.cfg
         scene_i = index % len(self.scenes)
         meta = self._meta(self.scenes[scene_i])
@@ -105,20 +112,25 @@ class FrameFolderScenes:
             np.random.SeedSequence([cfg.seed + 7, int(index)]))
         t_len = min(cfg.seq_len, t_avail)
         k = cfg.num_targets
-        src_view = int(rng.integers(v_avail))
+        if cfg.src_views == "orbit":
+            src_views = rng.choice(v_avail, size=t_len,
+                                   replace=(v_avail < t_len))
+        else:
+            src_views = np.full(t_len, rng.integers(v_avail))
         tgt_views = rng.choice(v_avail, size=k, replace=(v_avail < k))
         t0 = int(rng.integers(t_avail - t_len + 1))
-        return scene_i, src_view, tgt_views, t0
+        return scene_i, src_views.astype(np.int64), tgt_views, t0
 
     def example(self, index: int, raw: bool = False) -> dict:
         cfg = self.cfg
-        scene_i, src_view, tgt_views, t0 = self.sample_indices(index)
+        scene_i, src_views, tgt_views, t0 = self.sample_indices(index)
         scene = self.scenes[scene_i]
         meta = self._meta(scene)
         poses = meta["poses"]
         t_avail = meta["seq_len"]
         t_len = min(cfg.seq_len, t_avail)
         s = cfg.image_size
+        src_poses = poses[src_views].astype(np.float32)    # [T, P]
 
         if not raw and meta["packed"]:
             bank = self._packed(scene)                 # [V, T, H, W, 3] mmap
@@ -128,19 +140,19 @@ class FrameFolderScenes:
                 # selected rows' pages are touched, no per-frame copies.
                 flat = bank.reshape(-1, *bank.shape[2:])
                 rows = np.concatenate([
-                    src_view * t_avail + t0 + np.arange(t_len),
+                    src_views * t_avail + t0 + np.arange(t_len),
                     np.asarray(tgt_views) * t_avail + t0 + t_len - 1])
                 packed = native.gather_pack(flat, rows)
                 return {
                     "image_seq": packed[:t_len],
-                    "src_poses": np.broadcast_to(
-                        poses[src_view], (t_len, 3)).astype(np.float32).copy(),
+                    "src_poses": src_poses,
                     "tgt_poses": poses[tgt_views].astype(np.float32),
                     "tgt_images": packed[t_len:],
                 }
 
         frames = np.stack([
-            self._read_frame(scene, src_view, t0 + t) for t in range(t_len)])
+            self._read_frame(scene, int(src_views[t]), t0 + t)
+            for t in range(t_len)])
         targets = np.stack([
             self._read_frame(scene, int(v), t0 + t_len - 1)
             for v in tgt_views])
@@ -154,8 +166,7 @@ class FrameFolderScenes:
             tgt_images = native.resize_normalize_pack(targets, s, s)
         return {
             "image_seq": image_seq,
-            "src_poses": np.broadcast_to(
-                poses[src_view], (t_len, 3)).astype(np.float32).copy(),
+            "src_poses": src_poses,
             "tgt_poses": poses[tgt_views].astype(np.float32),
             "tgt_images": tgt_images,
         }

@@ -57,7 +57,7 @@ def make_source(cfg: DataConfig):
             num_scenes=cfg.num_scenes, image_size=cfg.image_size,
             seq_len=cfg.seq_len, num_targets=cfg.num_targets,
             dynamic=cfg.dynamic, seed=cfg.seed,
-            scene_offset=cfg.scene_offset)
+            scene_offset=cfg.scene_offset, src_views=cfg.src_views)
     if cfg.source == "frames":
         from dynamic_multiview_3d_tpu.data.frames import FrameFolderScenes
         return FrameFolderScenes(cfg)

@@ -149,18 +149,18 @@ class ResidentFrames:
                 "data.device_sampling")
         seq_idx, tgt_idx, src_pose_idx, tgt_pose_idx = [], [], [], []
         for index in indices:
-            scene_i, src_view, tgt_views, t0 = \
+            scene_i, src_views, tgt_views, t0 = \
                 self.source.sample_indices(int(index))
             ts = t0 + np.arange(self.t_len)
-            seq_idx.append(self._flat(scene_i, src_view, ts))
+            seq_idx.append(self._flat(scene_i, src_views, ts))
             tgt_idx.append(self._flat(scene_i, tgt_views,
                                       t0 + self.t_len - 1))
-            src_pose_idx.append(scene_i * self.num_views + src_view)
+            src_pose_idx.append(scene_i * self.num_views + src_views)
             tgt_pose_idx.append(scene_i * self.num_views + tgt_views)
         return {
             "seq_idx": np.asarray(seq_idx, np.int32),          # [B, T]
             "tgt_idx": np.asarray(tgt_idx, np.int32),          # [B, K]
-            "src_pose_idx": np.asarray(src_pose_idx, np.int32),  # [B]
+            "src_pose_idx": np.asarray(src_pose_idx, np.int32),  # [B, T]
             "tgt_pose_idx": np.asarray(tgt_pose_idx, np.int32),  # [B, K]
         }
 
@@ -168,7 +168,8 @@ class ResidentFrames:
         """Static shape facts the device-side sampler needs."""
         return {"num_scenes": self.num_scenes, "num_views": self.num_views,
                 "t_avail": self.t_avail, "t_len": self.t_len,
-                "num_targets": self.cfg.num_targets}
+                "num_targets": self.cfg.num_targets,
+                "orbit": self.cfg.src_views == "orbit"}
 
     @staticmethod
     def device_sample(frames, poses, meta: dict, key, batch: int,
@@ -191,20 +192,28 @@ class ResidentFrames:
         s, v = meta["num_scenes"], meta["num_views"]
         t_avail, t_len, k = meta["t_avail"], meta["t_len"], \
             meta["num_targets"]
+        orbit = meta.get("orbit", False)
 
         def draw(kk):
             k1, k2, k3, k4 = jax.random.split(kk, 4)
             scene = jax.random.randint(k1, (), 0, s)
-            src_view = jax.random.randint(k2, (), 0, v)
+            if orbit:        # one camera per frame: true multiview evidence
+                if v >= t_len:
+                    src_views = jax.random.permutation(k2, v)[:t_len]
+                else:
+                    src_views = jax.random.randint(k2, (t_len,), 0, v)
+            else:
+                src_views = jnp.broadcast_to(
+                    jax.random.randint(k2, (), 0, v), (t_len,))
             if v >= k:       # without replacement, like the host sampler
                 tgt_views = jax.random.permutation(k3, v)[:k]
             else:
                 tgt_views = jax.random.randint(k3, (k,), 0, v)
             t0 = jax.random.randint(k4, (), 0, t_avail - t_len + 1)
-            seq_rows = (scene * v + src_view) * t_avail + t0 + \
+            seq_rows = (scene * v + src_views) * t_avail + t0 + \
                 jnp.arange(t_len)
             tgt_rows = (scene * v + tgt_views) * t_avail + t0 + t_len - 1
-            return (seq_rows, tgt_rows, scene * v + src_view,
+            return (seq_rows, tgt_rows, scene * v + src_views,
                     scene * v + tgt_views)
 
         keys = jax.vmap(jax.random.fold_in, (None, 0))(
@@ -224,10 +233,7 @@ class ResidentFrames:
 
         seq = jnp.take(frames, idx["seq_idx"], axis=0)     # [B, T, H, W, 3]
         tgt = jnp.take(frames, idx["tgt_idx"], axis=0)     # [B, K, H, W, 3]
-        src_pose = jnp.take(poses, idx["src_pose_idx"], axis=0)   # [B, P]
+        src_poses = jnp.take(poses, idx["src_pose_idx"], axis=0)  # [B, T, P]
         tgt_poses = jnp.take(poses, idx["tgt_pose_idx"], axis=0)  # [B, K, P]
-        b, t = idx["seq_idx"].shape
-        src_poses = jnp.broadcast_to(src_pose[:, None, :],
-                                     (b, t, src_pose.shape[-1]))
         return {"image_seq": seq, "src_poses": src_poses,
                 "tgt_poses": tgt_poses, "tgt_images": tgt}

@@ -69,10 +69,12 @@ class SyntheticScenes:
 
     def __init__(self, num_scenes: int = 512, image_size: int = 128,
                  seq_len: int = 1, num_targets: int = 1, dynamic: bool = False,
-                 seed: int = 0, radius: float = 2.0, scene_offset: int = 0):
+                 seed: int = 0, radius: float = 2.0, scene_offset: int = 0,
+                 src_views: str = "fixed"):
         if not _HAS_CV2:
             raise RuntimeError("opencv required for the synthetic renderer")
         self.num_scenes = num_scenes
+        self.src_views = src_views
         self.image_size = image_size
         self.seq_len = seq_len
         self.num_targets = num_targets
@@ -165,7 +167,11 @@ class SyntheticScenes:
         t_len, k = self.seq_len, self.num_targets
 
         src_poses = self.sample_poses(rng, t_len)
-        if t_len > 1:
+        if t_len > 1 and self.src_views == "orbit":
+            # true multiview evidence: independent cameras per frame,
+            # sorted by azimuth so the sequence still reads as a sweep
+            src_poses = src_poses[np.argsort(src_poses[:, 0])]
+        elif t_len > 1:
             # a gentle camera orbit across the sequence (video-like)
             base = src_poses[0]
             drift = rng.uniform(-0.15, 0.15)

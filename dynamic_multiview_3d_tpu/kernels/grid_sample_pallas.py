@@ -122,7 +122,8 @@ def _vmem_words(c: int, h: int, w: int, pb: int) -> int:
 
 
 def _plan(total: int, c: int | None = None, h: int | None = None,
-          w: int | None = None, mode: str = "exact") -> int:
+          w: int | None = None, mode: str = "exact",
+          zeros_bwd: bool = False) -> int:
     """Pixel-block size pb for coords shaped [N, nb, 1, pb], block (1,1,1,pb).
 
     Pixels ride the LANE axis end to end: the one-hot weights are built
@@ -142,7 +143,13 @@ def _plan(total: int, c: int | None = None, h: int | None = None,
     pb = 128 * _pixel_block(total // 128, target=16)         # pb <= 2048
     if c is None:
         return pb
-    cap = _validated_cap(mode, h, w, c)
+    # The zeros-padding BACKWARD needs ~2% more Mosaic stack than the
+    # border-padding probe behind _VALIDATED_PB (measured: 16.28 MB vs the
+    # 16 MB scoped limit at 128²/pb=2048 under jvp-transpose, 2026-08-17) —
+    # the table's caps don't transfer, so it plans on the conservative
+    # model instead (128² lands at pb=1024: 11 MB modeled, probed green on
+    # v5e for both precisions).
+    cap = None if zeros_bwd else _validated_cap(mode, h, w, c)
     if cap is not None:
         while pb > cap:
             # next-smaller 128-multiple divisor of total
@@ -351,7 +358,7 @@ def _call_fwd(img_nchw, ix, iy, padding_mode, interpret, mode):
 def _call_bwd(img_nchw, ix, iy, dout, padding_mode, interpret, mode):
     n, c, h, w = img_nchw.shape
     total = ix.shape[1]
-    pb = _plan(total, c, h, w, mode)
+    pb = _plan(total, c, h, w, mode, zeros_bwd=(padding_mode == "zeros"))
     nb = total // pb
     ix4 = ix.reshape(n, nb, 1, pb)
     iy4 = iy.reshape(n, nb, 1, pb)

@@ -140,24 +140,47 @@ class Decoder(nn.Module):
             f = _features(cfg, i)
             x = nn.Conv(4 * f, (ku, ku), padding="SAME", dtype=dt,
                         name=f"up{i}_conv")(x)
-            x = depth_to_space2(x)
-            if cfg.norm == "group":
-                x = FastGroupNorm(num_groups=_num_groups(f), dtype=dt,
-                                  name=f"up{i}_norm")(x)
-            x = nn.relu(x)
-            hx = nn.Conv(f, (3, 3), padding="SAME", dtype=dt,
-                         name=f"fuse{i}_x")(x)
-            hs = nn.Conv(f, (3, 3), padding="SAME", dtype=dt, use_bias=False,
-                         name=f"fuse{i}_skip")(skips[i].astype(dt))
-            b = hs.shape[0]
-            hh, ww = hx.shape[1:3]
-            # NOTE(round-2 negative result): a Pallas-fused add+GN+relu
-            # epilogue was built and measured SLOWER than this XLA
-            # composition (1.48 vs 1.00 ms at the level-0 shape) — XLA
-            # already fuses the add into the norm's reduce/normalize
-            # passes well. Trace evidence in BASELINE.md.
-            x = (hx.reshape(b, k, hh, ww, f)
-                 + hs[:, None]).reshape(b * k, hh, ww, f)
+            if cfg.up_order == "norm_first":
+                # normalize/activate the 4 phases at LOW res (per-phase
+                # channel groups), then shuffle — the transpose feeds the
+                # fuse conv directly instead of standing alone in HBM.
+                if cfg.norm == "group":
+                    x = FastGroupNorm(num_groups=4 * _num_groups(f),
+                                      dtype=dt, name=f"up{i}_norm")(x)
+                x = depth_to_space2(nn.relu(x))
+            else:
+                x = depth_to_space2(x)
+                if cfg.norm == "group":
+                    x = FastGroupNorm(num_groups=_num_groups(f), dtype=dt,
+                                      name=f"up{i}_norm")(x)
+                x = nn.relu(x)
+            b = skips[i].shape[0]
+            hh, ww = x.shape[1:3]
+            if cfg.skip_fusion == "concat":
+                # one conv over [x, skip] — algebraically the split form
+                # with the add folded into the conv's output write. The
+                # skip broadcast over K costs HBM reads; the materialized
+                # hx + add round-trip goes away. A/B on hardware.
+                sk = jnp.broadcast_to(
+                    skips[i].astype(dt)[:, None],
+                    (b, k, hh, ww, skips[i].shape[-1])
+                ).reshape(b * k, hh, ww, -1)
+                x = nn.Conv(f, (3, 3), padding="SAME", dtype=dt,
+                            name=f"fuse{i}_x")(
+                    jnp.concatenate([x, sk], axis=-1))
+            else:
+                hx = nn.Conv(f, (3, 3), padding="SAME", dtype=dt,
+                             name=f"fuse{i}_x")(x)
+                hs = nn.Conv(f, (3, 3), padding="SAME", dtype=dt,
+                             use_bias=False,
+                             name=f"fuse{i}_skip")(skips[i].astype(dt))
+                # NOTE(round-2 negative result): a Pallas-fused add+GN+relu
+                # epilogue was built and measured SLOWER than this XLA
+                # composition (1.48 vs 1.00 ms at the level-0 shape) — XLA
+                # already fuses the add into the norm's reduce/normalize
+                # passes well. Trace evidence in BASELINE.md.
+                x = (hx.reshape(b, k, hh, ww, f)
+                     + hs[:, None]).reshape(b * k, hh, ww, f)
             if cfg.norm == "group":
                 x = FastGroupNorm(num_groups=_num_groups(f), dtype=dt,
                                   name=f"fuse{i}_norm")(x)
@@ -340,11 +363,22 @@ class DMV3D(nn.Module):
             t_src = pose_ops.look_at_extrinsics(jnp.repeat(src_last, k, 0))
             t_tgt = pose_ops.look_at_extrinsics(tgt_poses.reshape(b * k, -1))
             rel = pose_ops.relative_transform(t_src, t_tgt)
+            geo_view = None
             if impl == "pallas":
-                # fused kernel: correspondence field computed in-kernel
+                # fused kernels: correspondence field computed in-kernel;
+                # in depth-synthesis mode the composite fuses in too
+                # (depth twin of flow_warp_composite — VERDICT r2 #3).
                 from dynamic_multiview_3d_tpu.kernels import reproject_pallas
-                geo_view, geo_valid = reproject_pallas.depth_reproject_sample(
-                    last_frame, depth, intr, rel)
+                if cfg.synthesis == "depth":
+                    view, geo_view, geo_valid = \
+                        reproject_pallas.depth_reproject_composite(
+                            last_frame, depth, intr, rel, mask,
+                            heads["rgb"], precision=cfg.warp_precision)
+                else:
+                    geo_view, geo_valid = \
+                        reproject_pallas.depth_reproject_sample(
+                            last_frame, depth, intr, rel,
+                            precision=cfg.warp_precision)
             else:
                 geo_view, geo_valid = reproject_ops.depth_reproject_sample(
                     last_frame, depth, intr, rel, impl=impl,
@@ -355,11 +389,13 @@ class DMV3D(nn.Module):
 
         # Composite: mask gates the geometric resample (flow warp or depth
         # reprojection) against the hallucinated rgb (SURVEY.md R9/R13).
-        # The flow+pallas path already composited inside the fused kernel.
+        # Both pallas synthesis paths already composited inside their fused
+        # kernels.
         if cfg.synthesis == "depth":
             if not cfg.predict_depth:
                 raise ValueError("synthesis='depth' requires predict_depth=True")
-            view = mask * geo_view + (1.0 - mask) * heads["rgb"]
+            if view is None:
+                view = mask * geo_view + (1.0 - mask) * heads["rgb"]
         elif view is None:
             view = mask * warped + (1.0 - mask) * heads["rgb"]
         out["view"] = view.reshape(b, k, h, w, 3)

@@ -134,3 +134,34 @@ def test_scene_offset_gives_disjoint_scenes(tmp_path):
     b0 = np.load(tmp_path / "d" / "scene_00000" / "frames.npy")
     b1 = np.load(tmp_path / "d" / "scene_00001" / "frames.npy")
     assert not np.array_equal(b0, b1)   # different procedural geometry
+
+
+def test_orbit_src_views(dataset_root):
+    """cfg.src_views='orbit': each frame comes from its own camera (true
+    multiview evidence), poses are per-frame, stream stays deterministic."""
+    cfg = config_lib.DataConfig(source="frames", root=dataset_root,
+                                image_size=32, seq_len=3, num_targets=2,
+                                src_views="orbit")
+    ds = frames_lib.FrameFolderScenes(cfg)
+    # with V=4 >= T=3 the draws are distinct views
+    distinct = [len(set(ds.sample_indices(i)[1].tolist())) for i in range(8)]
+    assert all(d == 3 for d in distinct), distinct
+    ex = ds.example(1)
+    assert ex["src_poses"].shape == (3, 3)
+    # per-frame poses actually differ across the sequence
+    assert np.abs(np.diff(ex["src_poses"], axis=0)).max() > 1e-3
+    np.testing.assert_array_equal(ex["image_seq"],
+                                  ds.example(1)["image_seq"])
+
+
+def test_fixed_src_views_stream_unchanged(dataset_root):
+    """The round-2 'fixed' stream is bit-stable: orbit support must not
+    perturb existing draws (resume/regression safety)."""
+    cfg = config_lib.DataConfig(source="frames", root=dataset_root,
+                                image_size=32, seq_len=2, num_targets=2)
+    ds = frames_lib.FrameFolderScenes(cfg)
+    scene_i, src_views, tgt_views, t0 = ds.sample_indices(5)
+    # fixed mode: one camera films the whole sequence
+    assert src_views.shape == (2,) and len(set(src_views.tolist())) == 1
+    ex = ds.example(5)
+    assert np.abs(np.diff(ex["src_poses"], axis=0)).max() < 1e-6

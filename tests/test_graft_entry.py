@@ -4,12 +4,14 @@ import sys
 import os
 
 import numpy as np
+import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __graft_entry__  # noqa: E402
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8():
     """shard_map DP + GSPMD 2-D mesh train steps compile and run on the
     virtual 8-device mesh (the driver's multi-chip validation path)."""

@@ -245,3 +245,32 @@ def test_convlstm_recurrence(rng):
     # early-frame perturbation must change the output (state carries info)
     out_b = fwd(variables, seq.at[:, 0].set(-seq[:, 0]), src, tgt)
     assert float(jnp.abs(out["view"] - out_b["view"]).max()) > 1e-6
+
+
+@pytest.mark.parametrize("up_order,skip_fusion", [
+    ("norm_first", "split"),
+    ("d2s_first", "concat"),
+    ("norm_first", "concat"),
+])
+def test_decoder_variant_forward_and_grad(rng, up_order, skip_fusion):
+    """The round-3 decoder A/B variants (up_order / skip_fusion — the
+    restructurable-HBM levers from VERDICT r2 #4) produce the same output
+    shapes and carry finite gradients; the default ("d2s_first","split")
+    is covered by every other test."""
+    cfg = _cfg(size=32, levels=3, up_order=up_order, skip_fusion=skip_fusion)
+    model = DMV3D(cfg)
+    seq, src, tgt = _inputs(rng, b=2, t=1, k=2, size=32)
+    variables = jax.jit(model.init)(jax.random.key(0), seq, src, tgt)
+    out = jax.jit(model.apply)(variables, seq, src, tgt)
+    assert out["view"].shape == (2, 2, 32, 32, 3)
+    assert np.all(np.isfinite(np.asarray(out["view"])))
+
+    def loss(v):
+        return jnp.mean(model.apply(v, seq, src, tgt)["view"] ** 2)
+
+    g = jax.jit(jax.grad(loss))(variables)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(bool(jnp.all(jnp.isfinite(x))) for x in leaves)
+    # concat mode folds the skip conv into fuse{i}_x (no fuse{i}_skip param)
+    dec = variables["params"]["decoder"]
+    assert ("fuse0_skip" in dec) == (skip_fusion == "split")

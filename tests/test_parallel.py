@@ -42,7 +42,10 @@ def test_mesh_shapes():
     assert mesh.shape["data"] == len(jax.devices())
 
 
-@pytest.mark.parametrize("mode", ["shard_map", "auto"])
+@pytest.mark.parametrize("mode", [
+    "shard_map",
+    pytest.param("auto", marks=pytest.mark.slow),
+])
 def test_dp_matches_single_device(batch, mode):
     """8-way DP step == single-device step on the same global batch.
 
@@ -112,6 +115,7 @@ def test_shard_batch_places_on_data_axis(batch):
     assert len(arr.sharding.device_set) == 8
 
 
+@pytest.mark.slow
 def test_subsampling_shard_map_matches_auto():
     """On-device view-pair subsampling must fold the GLOBAL example index:
     every shard draws an independent subset and 'shard_map' == 'auto'

@@ -62,6 +62,7 @@ def test_fits_budget(packed_root):
     assert not resident_lib.fits_budget(src, tiny)
 
 
+@pytest.mark.slow
 def test_resident_training_matches_host_batches(packed_root):
     """Three steps through make_train_step with resident indices == three
     steps with host-assembled uint8 batches (identical streams)."""
@@ -103,6 +104,7 @@ def test_resident_training_matches_host_batches(packed_root):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_steps_per_dispatch_matches_single(packed_root):
     """One scanned dispatch of 4 optimizer steps == 4 single-step
     dispatches on the identical stream (t5x-style host loop,
