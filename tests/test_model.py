@@ -248,9 +248,9 @@ def test_convlstm_recurrence(rng):
 
 
 @pytest.mark.parametrize("up_order,skip_fusion", [
-    ("norm_first", "split"),
-    ("d2s_first", "concat"),
-    ("norm_first", "concat"),
+    pytest.param("norm_first", "split", marks=pytest.mark.slow),
+    pytest.param("d2s_first", "concat", marks=pytest.mark.slow),
+    ("norm_first", "concat"),      # both levers on — fast-tier coverage
 ])
 def test_decoder_variant_forward_and_grad(rng, up_order, skip_fusion):
     """The round-3 decoder A/B variants (up_order / skip_fusion — the

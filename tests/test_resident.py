@@ -150,6 +150,7 @@ def test_steps_per_dispatch_matches_single(packed_root):
     assert np.isfinite(float(m4["loss/total"]))
 
 
+@pytest.mark.slow
 def test_device_sampling_trains_with_zero_host_input(packed_root):
     """data.device_sampling: the step consumes NO host batch (None); the
     draws happen inside the compiled program from fold_in(seed, step).
@@ -218,6 +219,7 @@ def test_scene_sharded_bank_layout(packed_root):
         res.index_batch(range(4))
 
 
+@pytest.mark.slow
 def test_scene_sharded_training(packed_root):
     """8-way DP with the bank sharded by scene: each shard samples its own
     scenes in-program; loss decreases."""

@@ -181,6 +181,7 @@ def test_dynamic_sequence_training_with_remat(tmp_path):
     assert float(m["loss/total"]) < 0.8 * first
 
 
+@pytest.mark.slow
 def test_device_preprocess_uint8_matches_float(tmp_path):
     """uint8 batches normalized on-device give the same loss as host floats."""
     cfg = tiny_cfg(tmp_path)
