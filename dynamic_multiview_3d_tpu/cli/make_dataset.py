@@ -22,19 +22,29 @@ def main(argv=None) -> None:
     p.add_argument("--dynamic", action=argparse.BooleanOptionalAction,
                    default=True, help="objects move over the sequence")
     p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--fmt", choices=("png", "packed"), default="png",
+    p.add_argument("--fmt", choices=("png", "packed", "tfrecord"),
+                   default="png",
                    help="png: per-frame files (real decode work); packed: "
-                        "memory-mapped uint8 banks (decode-free)")
+                        "memory-mapped uint8 banks (decode-free); tfrecord: "
+                        "tf.train.Example shards (data.source=tfrecords)")
     p.add_argument("--scene-offset", type=int, default=0,
                    help="shift procedural scene ids (disjoint offsets give "
                         "held-out-scene eval splits)")
     args = p.parse_args(argv)
 
-    from dynamic_multiview_3d_tpu.data import frames as frames_lib
-    root = frames_lib.export_synthetic(
-        args.root, num_scenes=args.scenes, image_size=args.image_size,
-        num_views=args.views, seq_len=args.seq_len, dynamic=args.dynamic,
-        seed=args.seed, fmt=args.fmt, scene_offset=args.scene_offset)
+    if args.fmt == "tfrecord":
+        from dynamic_multiview_3d_tpu.data import tfrecords as tfr_lib
+        root = tfr_lib.export_tfrecords(
+            args.root, num_scenes=args.scenes, image_size=args.image_size,
+            num_views=args.views, seq_len=args.seq_len,
+            dynamic=args.dynamic, seed=args.seed,
+            scene_offset=args.scene_offset)
+    else:
+        from dynamic_multiview_3d_tpu.data import frames as frames_lib
+        root = frames_lib.export_synthetic(
+            args.root, num_scenes=args.scenes, image_size=args.image_size,
+            num_views=args.views, seq_len=args.seq_len, dynamic=args.dynamic,
+            seed=args.seed, fmt=args.fmt, scene_offset=args.scene_offset)
     total = args.scenes * args.views * args.seq_len
     print(f"wrote {total} frames across {args.scenes} scenes to {root}")
 

@@ -89,8 +89,11 @@ class DataConfig:
     source: str = "synthetic"        # "synthetic" | "frames" (frame-folder
                                      # video) | "shapenet_dir" (the published
                                      # 3D-R2N2 ShapeNet renderings layout,
-                                     # ingested without conversion)
-    root: str = ""                   # dataset root for frames/shapenet_dir
+                                     # ingested without conversion) |
+                                     # "tfrecords" (tf.train.Example shards,
+                                     # random-access framing index)
+    root: str = ""                   # dataset root (or shard glob) for
+                                     # frames/shapenet_dir/tfrecords
     image_size: int = 128
     seq_len: int = 1                 # T: input video frames
     src_views: str = "fixed"         # "fixed": one source camera films all T

@@ -61,6 +61,9 @@ def make_source(cfg: DataConfig):
     if cfg.source == "frames":
         from dynamic_multiview_3d_tpu.data.frames import FrameFolderScenes
         return FrameFolderScenes(cfg)
+    if cfg.source == "tfrecords":
+        from dynamic_multiview_3d_tpu.data.tfrecords import TFRecordScenes
+        return TFRecordScenes(cfg)
     if cfg.source == "shapenet_dir":
         from dynamic_multiview_3d_tpu.data.shapenet import ShapeNetDirScenes
         return ShapeNetDirScenes(cfg)
