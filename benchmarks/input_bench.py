@@ -23,11 +23,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def measure(root: str, workers: int, image_size: int = 256, seq_len: int = 4,
-            num_targets: int = 2, batch: int = 4, n_batches: int = 24) -> dict:
+            num_targets: int = 2, batch: int = 4, n_batches: int = 24,
+            source: str = "frames") -> dict:
     from dynamic_multiview_3d_tpu.config import DataConfig
     from dynamic_multiview_3d_tpu.data import pipeline as pipeline_lib
 
-    cfg = DataConfig(source="frames", root=root, image_size=image_size,
+    cfg = DataConfig(source=source, root=root, image_size=image_size,
                      seq_len=seq_len, num_targets=num_targets,
                      batch_size=batch, grain_workers=workers, prefetch=4,
                      seed=0)
@@ -51,10 +52,13 @@ def main(argv=None) -> None:
     p.add_argument("--root", nargs="+", required=True)
     p.add_argument("--workers", nargs="+", type=int, default=[0, 2])
     p.add_argument("--image-size", type=int, default=256)
+    p.add_argument("--source", default="frames",
+                   choices=("frames", "tfrecords", "shapenet_dir"))
     args = p.parse_args(argv)
     for root in args.root:
         for w in args.workers:
-            print(json.dumps(measure(root, w, image_size=args.image_size)),
+            print(json.dumps(measure(root, w, image_size=args.image_size,
+                                     source=args.source)),
                   flush=True)
 
 

@@ -1,0 +1,42 @@
+"""Export a checkpoint as a self-contained serving artifact.
+
+    python -m dynamic_multiview_3d_tpu.cli.export_model \
+        --ckpt /runs/model --out /serve/model.dmv3d \
+        --batch 1 --num-targets 8 [--platforms tpu cpu]
+
+The artifact (StableHLO + weights + config, see ``serving.py``) is the
+frozen-graph analog of the TF1 reference: a server loads it with jax +
+numpy only — no model code, no checkpoint machinery.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--ckpt", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--batch", type=int, default=1)
+    p.add_argument("--seq-len", type=int, default=None,
+                   help="source frames T (default: the checkpoint's "
+                        "data.seq_len)")
+    p.add_argument("--num-targets", type=int, default=1)
+    p.add_argument("--platforms", nargs="*", default=(),
+                   help="lowering targets (e.g. tpu cpu); default: the "
+                        "current backend")
+    args = p.parse_args(argv)
+
+    from dynamic_multiview_3d_tpu import serving
+    from dynamic_multiview_3d_tpu.api import Model
+    model = Model.from_checkpoint(args.ckpt)
+    manifest = serving.export_predict(
+        model, args.out, batch=args.batch, seq_len=args.seq_len,
+        num_targets=args.num_targets, platforms=tuple(args.platforms))
+    print(json.dumps({"out": args.out, **manifest}))
+
+
+if __name__ == "__main__":
+    main()

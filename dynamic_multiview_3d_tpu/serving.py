@@ -1,0 +1,165 @@
+"""Serving export: a self-contained, compiler-ready inference artifact.
+
+The TF1 reference genre ships inference as a frozen graph — weights baked
+into a serialized graph a server loads without the training code. The
+TPU-native equivalent is ``jax.export``: AOT-lower the jitted predict
+function to versioned StableHLO with fixed shapes, and ship it together
+with the weights and config as ONE zip:
+
+    artifact.dmv3d  (zip)
+      ├── predict.stablehlo      jax.export serialization (versioned,
+      │                          forward-compatible; includes the Mosaic
+      │                          payloads of the Pallas kernels when
+      │                          lowered for TPU)
+      ├── params.npz             flat {path: float32 ndarray}
+      ├── config.json            full Config (audit/repro)
+      └── manifest.json          shapes, dtypes, platforms, api version
+
+Why params stay OUTSIDE the StableHLO: baking tens of MB of weights into
+the module as constants bloats every compile and defeats donation; the
+loader feeds them as ordinary arguments instead (first N inputs), which
+also keeps the artifact inspectable (``np.load`` the npz).
+
+    from dynamic_multiview_3d_tpu import serving
+    serving.export_predict(model, "/path/artifact.dmv3d",
+                           batch=1, seq_len=1, num_targets=8)
+    served = serving.ServedModel.load("/path/artifact.dmv3d")
+    views = served.predict(image_seq, target_poses)   # fixed shapes
+
+A served model needs jax + numpy only — none of this package's model code
+runs at load time (the StableHLO IS the model), mirroring the reference's
+"graph + Saver checkpoint, no python model required" serving contract.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import zipfile
+
+import jax
+import numpy as np
+from jax import export as jax_export
+
+MANIFEST_VERSION = 1
+
+
+def _flatten(params, prefix=""):
+    out = {}
+    for k, v in params.items():
+        path = f"{prefix}{k}" if not prefix else f"{prefix}/{k}"
+        if isinstance(v, dict):
+            out.update(_flatten(v, path))
+        else:
+            out[path] = np.asarray(v)
+    return out
+
+
+def _unflatten(flat: dict):
+    tree: dict = {}
+    for path, v in flat.items():
+        node = tree
+        *parents, leaf = path.split("/")
+        for p in parents:
+            node = node.setdefault(p, {})
+        node[leaf] = v
+    return tree
+
+
+def export_predict(model, path: str, batch: int = 1, seq_len: int | None = None,
+                   num_targets: int = 1, platforms: tuple[str, ...] = ()):
+    """AOT-export ``model``'s forward at fixed shapes into ``path``.
+
+    platforms: lowering targets, e.g. ("tpu",) or ("cpu", "tpu") — defaults
+    to the current backend. Cross-platform export does NOT need the target
+    hardware present (lowering only; the server compiles at load).
+    """
+    cfg = model.cfg
+    t = seq_len if seq_len is not None else cfg.data.seq_len
+    s = cfg.model.image_size
+    flat = _flatten(model.params)
+    names = sorted(flat)
+
+    def fn(flat_values, image_seq, src_poses, tgt_poses):
+        params = _unflatten(dict(zip(names, flat_values)))
+        return model.module.apply({"params": params}, image_seq, src_poses,
+                                  tgt_poses)["view"]
+
+    args = (
+        tuple(jax.ShapeDtypeStruct(flat[n].shape, flat[n].dtype)
+              for n in names),
+        jax.ShapeDtypeStruct((batch, t, s, s, 3), np.float32),
+        jax.ShapeDtypeStruct((batch, t, 3), np.float32),
+        jax.ShapeDtypeStruct((batch, num_targets, 3), np.float32),
+    )
+    kw = {"platforms": list(platforms)} if platforms else {}
+    exported = jax_export.export(jax.jit(fn), **kw)(*args)
+    blob = exported.serialize()
+
+    manifest = {
+        "version": MANIFEST_VERSION,
+        "platforms": list(exported.platforms),
+        "image_seq": [batch, t, s, s, 3],
+        "src_poses": [batch, t, 3],
+        "tgt_poses": [batch, num_targets, 3],
+        "view": [batch, num_targets, s, s, 3],
+        "param_names": names,
+    }
+    npz = io.BytesIO()
+    np.savez(npz, **flat)
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_STORED) as z:
+        z.writestr("predict.stablehlo", blob)
+        z.writestr("params.npz", npz.getvalue())
+        z.writestr("config.json", json.dumps(config_lib_to_dict(cfg)))
+        z.writestr("manifest.json", json.dumps(manifest))
+    return manifest
+
+
+def config_lib_to_dict(cfg):
+    from dynamic_multiview_3d_tpu import config as config_lib
+    return config_lib.to_dict(cfg)
+
+
+class ServedModel:
+    """Loaded artifact: fixed-shape predict, no model code involved."""
+
+    def __init__(self, exported, flat_params, manifest, cfg_dict):
+        self._exported = exported
+        self._names = manifest["param_names"]
+        self._params = tuple(flat_params[n] for n in self._names)
+        self.manifest = manifest
+        self.cfg_dict = cfg_dict
+        self._call = jax.jit(exported.call)
+
+    @classmethod
+    def load(cls, path: str) -> "ServedModel":
+        with zipfile.ZipFile(path) as z:
+            exported = jax_export.deserialize(z.read("predict.stablehlo"))
+            with np.load(io.BytesIO(z.read("params.npz"))) as npz:
+                flat = {k: npz[k] for k in npz.files}
+            manifest = json.loads(z.read("manifest.json"))
+            cfg_dict = json.loads(z.read("config.json"))
+        if manifest["version"] > MANIFEST_VERSION:
+            raise ValueError(
+                f"artifact version {manifest['version']} is newer than this "
+                f"loader ({MANIFEST_VERSION})")
+        return cls(exported, flat, manifest, cfg_dict)
+
+    def predict(self, image_seq, target_poses, source_poses=None):
+        m = self.manifest
+        image_seq = np.asarray(image_seq, np.float32)
+        target_poses = np.asarray(target_poses, np.float32)
+        if source_poses is None:
+            from dynamic_multiview_3d_tpu.api import DEFAULT_POSE
+            source_poses = np.broadcast_to(
+                np.asarray(DEFAULT_POSE, np.float32), tuple(m["src_poses"]))
+        for name, arr in (("image_seq", image_seq),
+                          ("src_poses", source_poses),
+                          ("tgt_poses", target_poses)):
+            if list(arr.shape) != m[name]:
+                raise ValueError(
+                    f"{name} shape {list(arr.shape)} != exported {m[name]} "
+                    "(serving artifacts are fixed-shape; re-export for "
+                    "other shapes)")
+        return self._call(self._params, image_seq,
+                          np.asarray(source_poses, np.float32), target_poses)

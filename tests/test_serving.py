@@ -1,0 +1,86 @@
+"""Serving export (jax.export StableHLO artifact — the frozen-graph
+analog; `serving.py`)."""
+
+import numpy as np
+import pytest
+
+from dynamic_multiview_3d_tpu import config as config_lib
+from dynamic_multiview_3d_tpu import serving
+from dynamic_multiview_3d_tpu.api import Model
+
+
+def _tiny_cfg():
+    return config_lib.Config(
+        model=config_lib.ModelConfig(
+            image_size=32, num_levels=3, base_features=8, max_features=32,
+            gru_features=16, pose_embed_dim=16, dtype="float32",
+            use_pallas=False),
+        data=config_lib.DataConfig(image_size=32, seq_len=2, num_targets=2),
+    )
+
+
+@pytest.fixture(scope="module")
+def artifact(tmp_path_factory):
+    model = Model.init_random(_tiny_cfg(), seed=0)
+    path = str(tmp_path_factory.mktemp("serve") / "model.dmv3d")
+    manifest = serving.export_predict(model, path, batch=2, num_targets=2)
+    return model, path, manifest
+
+
+def test_export_roundtrip_matches_live_model(artifact, rng):
+    model, path, manifest = artifact
+    served = serving.ServedModel.load(path)
+    seq = rng.uniform(-1, 1, (2, 2, 32, 32, 3)).astype(np.float32)
+    src = rng.uniform(0, 1, (2, 2, 3)).astype(np.float32) + [0, 0, 1]
+    tgt = rng.uniform(0, 1, (2, 2, 3)).astype(np.float32) + [0, 0, 1]
+    got = np.asarray(served.predict(seq, tgt, source_poses=src))
+    want = np.asarray(model.predict(seq, tgt, source_poses=src))
+    assert got.shape == tuple(manifest["view"])
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_artifact_is_self_contained(artifact):
+    """The zip carries weights + config + manifest; weights are plain npz
+    (inspectable without this package)."""
+    import io
+    import json
+    import zipfile
+    _, path, _ = artifact
+    with zipfile.ZipFile(path) as z:
+        names = set(z.namelist())
+        assert {"predict.stablehlo", "params.npz", "config.json",
+                "manifest.json"} <= names
+        with np.load(io.BytesIO(z.read("params.npz"))) as npz:
+            assert len(npz.files) > 10
+        cfg = json.loads(z.read("config.json"))
+        assert cfg["model"]["image_size"] == 32
+
+
+def test_fixed_shape_contract_is_loud(artifact, rng):
+    _, path, _ = artifact
+    served = serving.ServedModel.load(path)
+    seq_bad = rng.uniform(-1, 1, (1, 2, 32, 32, 3)).astype(np.float32)
+    tgt = rng.uniform(0, 1, (1, 2, 3)).astype(np.float32)
+    with pytest.raises(ValueError, match="fixed-shape"):
+        served.predict(seq_bad, tgt)
+
+
+def test_future_version_rejected(artifact, tmp_path):
+    import json
+    import shutil
+    import zipfile
+    _, path, _ = artifact
+    path2 = tmp_path / "future.dmv3d"
+    shutil.copy(path, path2)
+    with zipfile.ZipFile(path) as z:
+        blob, npz = z.read("predict.stablehlo"), z.read("params.npz")
+        cfg = z.read("config.json")
+        man = json.loads(z.read("manifest.json"))
+    man["version"] = serving.MANIFEST_VERSION + 1
+    with zipfile.ZipFile(path2, "w") as z:
+        z.writestr("predict.stablehlo", blob)
+        z.writestr("params.npz", npz)
+        z.writestr("config.json", cfg)
+        z.writestr("manifest.json", json.dumps(man))
+    with pytest.raises(ValueError, match="newer"):
+        serving.ServedModel.load(str(path2))
