@@ -100,3 +100,28 @@ def test_missing_frame_is_loud(tfr_root, tmp_path):
                                 image_size=32)
     with pytest.raises(ValueError, match="missing frames"):
         tfr_lib.TFRecordScenes(cfg)
+
+
+def test_framing_roundtrip_property():
+    """Property: arbitrary payloads survive write->span-walk byte-exact."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=20, deadline=None)
+    @given(st.lists(st.binary(min_size=0, max_size=300), min_size=1,
+                    max_size=8))
+    def check(payloads):
+        import tempfile
+        import os
+        fd, path = tempfile.mkstemp(suffix=".tfrecord")
+        os.close(fd)
+        try:
+            tfr_lib.write_records(path, payloads)
+            with open(path, "rb") as f:
+                data = f.read()
+            got = [data[o:o + n]
+                   for o, n in tfr_lib.iter_record_spans(path)]
+            assert got == payloads
+        finally:
+            os.unlink(path)
+
+    check()
