@@ -125,6 +125,11 @@ class DataConfig:
                                      # when packed + single-process + it fits
                                      # resident_budget_mb)
     resident_budget_mb: int = 4096   # HBM budget for device-resident banks
+    materialize_packed: bool = False  # decode a non-packed source
+                                     # (png / tfrecords / shapenet_dir)
+                                     # ONCE into in-memory uint8 banks at
+                                     # startup so it can ride the
+                                     # HBM-resident path
     device_sampling: bool = False    # resident-only: draw (scene, views, t0)
                                      # INSIDE the compiled step from
                                      # fold_in(seed, step) — a dispatch then

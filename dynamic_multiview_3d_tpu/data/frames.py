@@ -75,6 +75,29 @@ class FrameFolderScenes:
                 mmap_mode="r")
         return self._pack_cache[scene]
 
+    def materialize_packed(self) -> None:
+        """Decode every frame ONCE into in-memory uint8 banks, making a
+        decode-based source (PNG folders, tfrecords, shapenet_dir)
+        eligible for the HBM-resident path (`data.materialize_packed`).
+        Polymorphic over `_read_frame`, so subclasses inherit it. Host RAM
+        transiently holds the full dataset (same bytes the device will);
+        scenes already packed are untouched."""
+        s = self.cfg.image_size
+        for scene in self.scenes:
+            meta = self._meta(scene)
+            if meta.get("packed"):
+                continue
+            v, t = meta["num_views"], meta["seq_len"]
+            bank = np.stack([
+                np.stack([self._read_frame(scene, vi, ti)
+                          for ti in range(t)]) for vi in range(v)])
+            if bank.shape[2:4] != (s, s):     # bank contract: cfg-sized
+                bank = self._resize_u8(
+                    bank.reshape(v * t, *bank.shape[2:])
+                ).reshape(v, t, s, s, 3)
+            self._pack_cache[scene] = np.ascontiguousarray(bank)
+            meta["packed"] = True
+
     def _read_frame(self, scene: str, view: int, t: int) -> np.ndarray:
         if self._meta(scene)["packed"]:
             return np.asarray(self._packed(scene)[view, t])

@@ -275,6 +275,15 @@ def _maybe_resident(cfg: config_lib.Config, data_source, mesh,
     if mode == "off":
         return None
 
+    # materialize_packed: decode a non-packed source (png / tfrecords /
+    # shapenet_dir) once into in-memory banks so it passes the packed
+    # eligibility below (data/frames.py:materialize_packed).
+    resident_src = cfg.data.source in ("frames", "tfrecords",
+                                       "shapenet_dir")
+    if (cfg.data.materialize_packed and resident_src
+            and hasattr(data_source, "materialize_packed")):
+        data_source.materialize_packed()
+
     if cfg.data.resident_sharding == "scenes":
         if not cfg.data.device_sampling or parallel_mode != "shard_map":
             raise ValueError(
@@ -282,7 +291,7 @@ def _maybe_resident(cfg: config_lib.Config, data_source, mesh,
                 "data.device_sampling and the shard_map parallel mode "
                 "(a shard can only address its local scene rows)")
         n = mesh.shape["data"]
-        eligible = (cfg.data.source == "frames"
+        eligible = (resident_src
                     and resident_lib.fits_budget(data_source, cfg.data,
                                                  num_shards=n))
         if not eligible:
@@ -296,7 +305,7 @@ def _maybe_resident(cfg: config_lib.Config, data_source, mesh,
             data_source, cfg.data,
             sharding=NamedSharding(mesh, P("data")), num_shards=n)
 
-    eligible = (cfg.data.source == "frames" and jax.process_count() == 1
+    eligible = (resident_src and jax.process_count() == 1
                 and resident_lib.fits_budget(data_source, cfg.data))
     if mode == "on" and not eligible:
         raise ValueError(
@@ -308,7 +317,7 @@ def _maybe_resident(cfg: config_lib.Config, data_source, mesh,
         # landing here is exactly what OOM-killed round 2's host. Warn
         # when residency was plausible (a frames dataset) but auto
         # resolved to OFF; host_rss_mb in the metrics is the tripwire.
-        if mode == "auto" and cfg.data.source == "frames":
+        if mode == "auto" and resident_src:
             import warnings
             why = ("multi-process" if jax.process_count() > 1
                    else "banks not packed/uniform or over "

@@ -125,3 +125,45 @@ def test_framing_roundtrip_property():
             os.unlink(path)
 
     check()
+
+
+def test_materialized_tfrecords_ride_the_resident_path():
+    """data.materialize_packed: a tfrecords source decodes once into
+    in-memory banks and becomes HBM-resident eligible; a short
+    device-sampling training run consumes ZERO host batches."""
+    import tempfile
+
+    import jax
+
+    from dynamic_multiview_3d_tpu.data import resident as resident_lib
+    from dynamic_multiview_3d_tpu.parallel import mesh as mesh_lib
+    from dynamic_multiview_3d_tpu.train import loop as loop_lib
+
+    with tempfile.TemporaryDirectory() as root:
+        tfr_lib.export_tfrecords(root, num_scenes=2, image_size=32,
+                                 num_views=4, seq_len=2, dynamic=True,
+                                 seed=0, shards=2)
+        cfg = config_lib.get_config("default", [
+            "data.source=tfrecords", f"data.root={root}",
+            "data.image_size=32", "model.image_size=32",
+            "model.num_levels=3", "model.base_features=8",
+            "model.gru_features=16", "data.seq_len=2",
+            "data.num_targets=1", "data.batch_size=4",
+            "data.materialize_packed=true", "data.device_sampling=true",
+            "mesh.data=1",
+        ])
+        src = tfr_lib.TFRecordScenes(cfg.data)
+        mesh = mesh_lib.make_mesh(cfg.mesh)
+        res = loop_lib._maybe_resident(cfg, src, mesh)
+        assert isinstance(res, resident_lib.ResidentFrames)
+        # the materialized bank matches per-frame decode exactly
+        bank = src._packed(src.scenes[0])
+        np.testing.assert_array_equal(
+            np.asarray(bank[1, 1]), src._read_frame(src.scenes[0], 1, 1))
+
+        from dynamic_multiview_3d_tpu.train import step as step_lib
+        state = jax.device_put(step_lib.init_state(cfg),
+                               mesh_lib.replicate(mesh))
+        step_fn = step_lib.make_train_step(cfg, mesh=mesh, resident=res)
+        state, m = step_fn(state, None)          # zero host input
+        assert np.isfinite(float(m["loss/total"]))
