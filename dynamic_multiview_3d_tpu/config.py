@@ -278,6 +278,24 @@ def config3_dynamic_scan() -> Config:
     )
 
 
+def config3_multiflow_orbit() -> Config:
+    """Flagship quality recipe (round 3): c3 dynamic shapes + true-multiview
+    synthesis — every source frame warped with learned confidence blending
+    (model.synthesis='multiflow') over orbiting source cameras
+    (data.src_views='orbit'), in-program sampling. Point data.root at a
+    frames export (e.g. make_dataset --views 8 --seq-len 8 --dynamic)."""
+    return Config(
+        name="c3mf_multiflow_orbit",
+        model=ModelConfig(image_size=128, num_levels=5, remat_scan=True,
+                          synthesis="multiflow"),
+        data=DataConfig(image_size=128, seq_len=8, num_targets=2,
+                        batch_size=8, dynamic=True, source="frames",
+                        src_views="orbit", device_sampling=True),
+        train=TrainConfig(steps_per_dispatch=16, lr_schedule="cosine",
+                          lr=2e-4, warmup_steps=500, lr_final=1e-5),
+    )
+
+
 def config4_train_dp8() -> Config:
     """BASELINE.json:10 — full train step (L1+mask, fwd+bwd+Adam), 128², v5e-8 DP."""
     return Config(
@@ -303,6 +321,7 @@ PRESETS = {
     "c1": config1_single_view_64,
     "c2": config2_static_multiview_128,
     "c3": config3_dynamic_scan,
+    "c3mf": config3_multiflow_orbit,
     "c4": config4_train_dp8,
     "c5": config5_multihost_256,
     "default": Config,
