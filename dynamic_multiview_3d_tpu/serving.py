@@ -145,7 +145,12 @@ class ServedModel:
                 f"loader ({MANIFEST_VERSION})")
         return cls(exported, flat, manifest, cfg_dict)
 
-    def predict(self, image_seq, target_poses, source_poses=None):
+    def predict(self, image_seq, target_poses, source_poses=None,
+                mesh=None):
+        """Run the artifact. With ``mesh`` (a `jax.sharding.Mesh` with a
+        'data' axis), the batch shards over the mesh and GSPMD partitions
+        the StableHLO body — data-parallel serving without re-export; the
+        exported batch must divide the mesh size."""
         m = self.manifest
         image_seq = np.asarray(image_seq, np.float32)
         target_poses = np.asarray(target_poses, np.float32)
@@ -153,6 +158,7 @@ class ServedModel:
             from dynamic_multiview_3d_tpu.api import DEFAULT_POSE
             source_poses = np.broadcast_to(
                 np.asarray(DEFAULT_POSE, np.float32), tuple(m["src_poses"]))
+        source_poses = np.asarray(source_poses, np.float32)
         for name, arr in (("image_seq", image_seq),
                           ("src_poses", source_poses),
                           ("tgt_poses", target_poses)):
@@ -161,5 +167,14 @@ class ServedModel:
                     f"{name} shape {list(arr.shape)} != exported {m[name]} "
                     "(serving artifacts are fixed-shape; re-export for "
                     "other shapes)")
-        return self._call(self._params, image_seq,
-                          np.asarray(source_poses, np.float32), target_poses)
+        if mesh is None:
+            return self._call(self._params, image_seq, source_poses,
+                              target_poses)
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        batched = NamedSharding(mesh, P("data"))
+        repl = NamedSharding(mesh, P())
+        params = tuple(jax.device_put(p, repl) for p in self._params)
+        args = tuple(jax.device_put(a, batched)
+                     for a in (image_seq, source_poses, target_poses))
+        return self._call(params, *args)

@@ -84,3 +84,24 @@ def test_future_version_rejected(artifact, tmp_path):
         z.writestr("manifest.json", json.dumps(man))
     with pytest.raises(ValueError, match="newer"):
         serving.ServedModel.load(str(path2))
+
+
+def test_sharded_serving_matches_single_device(artifact, rng):
+    """predict(mesh=...) shards the batch over the 'data' axis and GSPMD
+    partitions the exported StableHLO — outputs equal the unsharded call
+    and land distributed over all 8 virtual devices."""
+    import jax
+    from jax.sharding import Mesh
+
+    model, path, _ = artifact
+    served = serving.ServedModel.load(path)
+    seq = rng.uniform(-1, 1, (2, 2, 32, 32, 3)).astype(np.float32)
+    src = rng.uniform(0, 1, (2, 2, 3)).astype(np.float32) + [0, 0, 1]
+    tgt = rng.uniform(0, 1, (2, 2, 3)).astype(np.float32) + [0, 0, 1]
+    mesh = Mesh(np.array(jax.devices()[:2]), ("data",))
+    got = served.predict(seq, tgt, source_poses=src, mesh=mesh)
+    want = served.predict(seq, tgt, source_poses=src)
+    assert len(got.sharding.device_set) == 2
+    # GSPMD partitioning reorders GroupNorm stat reductions: f32 noise only
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-3, atol=1e-4)
