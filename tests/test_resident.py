@@ -289,3 +289,28 @@ def test_resident_disabled_for_png_and_off(packed_root, tmp_path):
     with pytest.raises(ValueError):
         cfg_on = config_lib.Config(data=_dcfg(png_root, device_resident="on"))
         loop_lib._maybe_resident(cfg_on, src, mesh)
+
+
+def test_device_sample_orbit_draws_distinct_views(packed_root):
+    """cfg.src_views='orbit' in device sampling: each frame of a drawn
+    sequence comes from its own camera (distinct when V >= T), poses are
+    per-frame, and the fixed mode stays single-camera."""
+    import dataclasses
+
+    import jax.random
+
+    base = _dcfg(packed_root)
+    for mode, want_distinct in (("orbit", True), ("fixed", False)):
+        cfg = dataclasses.replace(base, seq_len=3, src_views=mode)
+        src = frames_lib.FrameFolderScenes(cfg)
+        res = resident_lib.ResidentFrames(src, cfg)
+        meta = res.sample_meta()
+        assert meta["orbit"] == (mode == "orbit")
+        b = resident_lib.ResidentFrames.device_sample(
+            res.frames, res.poses, meta, jax.random.key(5), 16)
+        poses = np.asarray(b["src_poses"])           # [16, 3, P]
+        per_frame_delta = np.abs(np.diff(poses, axis=1)).max(axis=(1, 2))
+        if want_distinct:
+            assert (per_frame_delta > 1e-6).all()    # distinct cameras
+        else:
+            assert (per_frame_delta < 1e-6).all()    # one camera repeats
