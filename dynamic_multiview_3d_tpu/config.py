@@ -160,8 +160,14 @@ class TrainConfig:
     l1_weight: float = 1.0
     mask_weight: float = 0.1         # BCE(mask, warp-validity) weight
     smooth_weight: float = 0.0       # optional flow smoothness
+    ssim_weight: float = 0.0         # optional structural term:
+                                     # ssim_weight * (1 - SSIM(view, tgt))
     geo_weight: float = 0.5          # masked L1 on the depth-reprojection
                                      # view (only when predict_depth)
+    ema_decay: float = 0.0           # >0: keep an EMA of params in the
+                                     # train state; the exported `model`
+                                     # dir (eval/predict/serving) uses the
+                                     # EMA weights
     steps_per_dispatch: int = 1      # >1: lax.scan this many optimizer steps
                                      # inside ONE compiled program per host
                                      # dispatch (t5x-style host loop).

@@ -197,8 +197,10 @@ def train(cfg: config_lib.Config, *, writer: metrics_lib.MetricsWriter | None
     # Export in the Model.from_checkpoint format for eval/predict (T5).
     if jax.process_index() == 0:
         import os
+        export_params = (state.ema_params if state.ema_params is not None
+                         else state.params)
         ckpt_lib.save_model(os.path.join(cfg.train.ckpt_dir, "model"),
-                            jax.device_get(state.params), cfg,
+                            jax.device_get(export_params), cfg,
                             int(np.asarray(state.step)))
     return state, last_metrics
 

@@ -62,6 +62,13 @@ def total_loss(out: dict, batch: dict, cfg: TrainConfig,
     lm = mask_loss(out["mask"], validity)
     loss = cfg.l1_weight * l1 + cfg.mask_weight * lm
     metrics = {"loss/l1": l1, "loss/mask": lm}
+    if cfg.ssim_weight > 0:
+        # structural term (DSSIM): the Gaussian-window SSIM in
+        # train/metrics.py is plain jnp and differentiates cleanly.
+        from dynamic_multiview_3d_tpu.train import metrics as metrics_lib
+        ls = 1.0 - metrics_lib.ssim(out["view"], target)
+        loss = loss + cfg.ssim_weight * ls
+        metrics["loss/dssim"] = ls
     if cfg.smooth_weight > 0:
         ls = smoothness_loss(out["flow"])
         loss = loss + cfg.smooth_weight * ls

@@ -29,7 +29,10 @@ from dynamic_multiview_3d_tpu.train import losses as losses_lib
 
 
 class TrainState(flax_train_state.TrainState):
-    pass
+    # EMA of params (train.ema_decay > 0) — rides in the state pytree so
+    # checkpoints/resume carry it; None (an empty pytree leaf-set) when
+    # disabled, keeping old checkpoints loadable unchanged.
+    ema_params: object = None
 
 
 def make_lr(cfg: Config):
@@ -74,8 +77,12 @@ def init_state(cfg: Config, seed: int | None = None) -> TrainState:
     params = jax.jit(module.init)(
         jax.random.key(cfg.train.seed if seed is None else seed),
         seq, src, tgt)["params"]
-    return TrainState.create(apply_fn=module.apply, params=params,
-                             tx=make_optimizer(cfg))
+    return TrainState.create(
+        apply_fn=module.apply, params=params, tx=make_optimizer(cfg),
+        # EMA starts as a COPY: the state is donated into the jitted step,
+        # and aliased params/ema buffers would be donated twice.
+        ema_params=(jax.tree.map(jnp.copy, params)
+                    if cfg.train.ema_decay > 0 else None))
 
 
 def _loss_and_metrics(apply_fn: Callable, params, batch, tcfg,
@@ -171,6 +178,11 @@ def make_train_step(cfg: Config, mesh=None, mode: str = "shard_map",
             grads = jax.lax.pmean(grads, pmean_axis)
             metrics = jax.lax.pmean(metrics, pmean_axis)
         state = state.apply_gradients(grads=grads)
+        if cfg.train.ema_decay > 0:
+            d = cfg.train.ema_decay
+            state = state.replace(ema_params=jax.tree.map(
+                lambda e, q: d * e + (1.0 - d) * q,
+                state.ema_params, state.params))
         return state, metrics
 
     def _bind(jitted):

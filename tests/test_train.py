@@ -317,3 +317,62 @@ def test_lr_schedule_cosine_with_warmup():
     with pytest.raises(ValueError):
         step_lib.make_lr(config_lib.override(
             config_lib.Config(), ["train.lr_schedule=nope"]))
+
+
+def test_ssim_loss_term(tmp_path):
+    """train.ssim_weight adds a differentiable DSSIM term to the loss."""
+    import dataclasses
+
+    from dynamic_multiview_3d_tpu.train import losses as losses_lib
+
+    rng = np.random.default_rng(0)
+    out = {"view": jnp.asarray(rng.uniform(-1, 1, (2, 1, 16, 16, 3))
+                               .astype(np.float32)),
+           "flow": jnp.zeros((2, 1, 16, 16, 2)),
+           "mask": jnp.full((2, 1, 16, 16, 1), 0.5)}
+    batch = {"tgt_images": jnp.asarray(
+        rng.uniform(-1, 1, (2, 1, 16, 16, 3)).astype(np.float32))}
+    tcfg = dataclasses.replace(config_lib.TrainConfig(), ssim_weight=0.5)
+    loss, m = losses_lib.total_loss(out, batch, tcfg)
+    base, _ = losses_lib.total_loss(out, batch, config_lib.TrainConfig())
+    assert "loss/dssim" in m and float(m["loss/dssim"]) > 0
+    np.testing.assert_allclose(float(loss),
+                               float(base) + 0.5 * float(m["loss/dssim"]),
+                               rtol=1e-6)
+    g = jax.grad(lambda v: losses_lib.total_loss(
+        {**out, "view": v}, batch, tcfg)[0])(out["view"])
+    assert bool(jnp.all(jnp.isfinite(g))) and float(jnp.abs(g).max()) > 0
+
+
+def test_ema_params_track_and_export(tmp_path):
+    """train.ema_decay: the state carries an EMA of params that moves
+    slower than the raw params; the exported model dir carries the EMA."""
+    cfg = tiny_cfg(tmp_path)
+    import dataclasses
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, ema_decay=0.9,
+                                       num_steps=6, ckpt_every=6,
+                                       log_every=6))
+    from dynamic_multiview_3d_tpu.data.synthetic import SyntheticScenes
+    from dynamic_multiview_3d_tpu.parallel import mesh as mesh_lib
+    from dynamic_multiview_3d_tpu.train import step as step_lib
+
+    mesh = mesh_lib.make_mesh(config_lib.MeshConfig(data=1))
+    state = jax.device_put(step_lib.init_state(cfg),
+                           mesh_lib.replicate(mesh))
+    src = SyntheticScenes(num_scenes=1, image_size=cfg.data.image_size,
+                          num_targets=cfg.data.num_targets)
+    step_fn = step_lib.make_train_step(cfg, mesh=mesh)
+    batch = jax.device_put(src.batch(range(cfg.data.batch_size)))
+    p0 = jax.device_get(state.params)
+    for _ in range(3):
+        state, _ = step_fn(state, batch)
+    p = jax.device_get(state.params)
+    e = jax.device_get(state.ema_params)
+
+    def dist(a, b):
+        la, lb = jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)
+        return float(sum(np.abs(x - y).sum() for x, y in zip(la, lb)))
+
+    assert dist(e, p0) < dist(p, p0)          # EMA lags the raw params
+    assert dist(e, p0) > 0                    # ...but does move
