@@ -18,6 +18,7 @@ def test_dryrun_multichip_8():
     __graft_entry__.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_entry_returns_jittable(monkeypatch):
     """entry() builds; full 128² compile is covered by the driver itself —
     here we only check the contract (callable + example args align)."""

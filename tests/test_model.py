@@ -29,7 +29,10 @@ def _inputs(rng, b=2, t=1, k=1, size=64):
     )
 
 
-@pytest.mark.parametrize("size,levels", [(64, 4), (128, 5)])
+@pytest.mark.parametrize("size,levels", [
+    (64, 4),
+    pytest.param(128, 5, marks=pytest.mark.slow),
+])
 def test_forward_shapes(rng, size, levels):
     cfg = _cfg(size, levels)
     model = DMV3D(cfg)
@@ -43,6 +46,7 @@ def test_forward_shapes(rng, size, levels):
     assert np.all(np.isfinite(np.asarray(out["view"])))
 
 
+@pytest.mark.slow
 def test_dynamic_sequence_and_depth(rng):
     cfg = _cfg(predict_depth=True)
     model = DMV3D(cfg)
@@ -132,6 +136,7 @@ def test_convgru_cell_direct(rng):
     assert float(jnp.abs(h2).max()) < 1.0
 
 
+@pytest.mark.slow
 def test_bf16_compute_path(rng):
     cfg = _cfg(dtype="bfloat16")
     model = DMV3D(cfg)
@@ -234,6 +239,7 @@ def test_multiflow_rejects_predict_depth(rng):
         model.init(jax.random.key(0), seq, src, tgt)
 
 
+@pytest.mark.slow
 def test_convlstm_recurrence(rng):
     cfg = _cfg(rnn="lstm")
     model = DMV3D(cfg)

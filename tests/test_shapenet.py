@@ -76,6 +76,7 @@ def test_rgba_composite_matches_rgb_render(fixture_root, tmp_path):
     np.testing.assert_array_equal(frame, ref)
 
 
+@pytest.mark.slow
 def test_training_runs_on_foreign_layout(fixture_root, tmp_path):
     """VERDICT r2 #6 'done' criterion: training runs against a fixture in
     the foreign layout without conversion."""
