@@ -288,15 +288,18 @@ def config3_multiflow_orbit() -> Config:
     """Flagship quality recipe (round 3): c3 dynamic shapes + true-multiview
     synthesis — every source frame warped with learned confidence blending
     (model.synthesis='multiflow') over orbiting source cameras
-    (data.src_views='orbit'), in-program sampling. Point data.root at a
-    frames export (e.g. make_dataset --views 8 --seq-len 8 --dynamic)."""
+    (data.src_views='orbit'), in-program sampling. Runs out of the box on
+    the in-memory synthetic frame bank (rendered once at startup); point
+    data.root at a frames export (make_dataset --views 8 --seq-len 8
+    --dynamic --fmt packed) for real data / bigger scene banks."""
     return Config(
         name="c3mf_multiflow_orbit",
         model=ModelConfig(image_size=128, num_levels=5, remat_scan=True,
                           synthesis="multiflow"),
         data=DataConfig(image_size=128, seq_len=8, num_targets=2,
                         batch_size=8, dynamic=True, source="frames",
-                        src_views="orbit", device_sampling=True),
+                        src_views="orbit", device_sampling=True,
+                        materialize_packed=True),
         train=TrainConfig(steps_per_dispatch=16, lr_schedule="cosine",
                           lr=2e-4, warmup_steps=500, lr_final=1e-5),
     )

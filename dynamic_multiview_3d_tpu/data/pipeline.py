@@ -59,7 +59,19 @@ def make_source(cfg: DataConfig):
             dynamic=cfg.dynamic, seed=cfg.seed,
             scene_offset=cfg.scene_offset, src_views=cfg.src_views)
     if cfg.source == "frames":
-        from dynamic_multiview_3d_tpu.data.frames import FrameFolderScenes
+        from dynamic_multiview_3d_tpu.data.frames import (FrameFolderScenes,
+                                                          SyntheticFrames)
+        if not cfg.root:
+            # no export on disk: render the identical layout procedurally
+            # (fixed per-scene cameras, packed-bank protocol) so frames
+            # presets — c3mf in particular — run with zero prior setup.
+            import warnings
+            warnings.warn(
+                "data.source='frames' with empty data.root: using the "
+                "in-memory synthetic frame bank (SyntheticFrames); point "
+                "data.root at a cli.make_dataset export for real data",
+                stacklevel=2)
+            return SyntheticFrames(cfg)
         return FrameFolderScenes(cfg)
     if cfg.source == "tfrecords":
         from dynamic_multiview_3d_tpu.data.tfrecords import TFRecordScenes

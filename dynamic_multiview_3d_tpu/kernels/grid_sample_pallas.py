@@ -225,14 +225,19 @@ def _contract_lo(a, b, last: bool = False):
         preferred_element_type=jnp.float32)
 
 
-def _sample_rows(ix, iy, img_ref, *, channels, h, w, padding_mode, mode):
-    """Shared sampling body: yields (c, sampled [1, P]) per channel."""
+def _sample_rows(ix, iy, load, *, channels, h, w, padding_mode, mode):
+    """Shared sampling body: yields (c, sampled [1, P]) per channel.
+
+    ``load(c)`` returns the channel's [H, W] image tile — a callable rather
+    than a ref so multi-source kernels can index interior batch dims
+    directly (Mosaic rejects ``.at[]`` sub-refs whose trailing dims aren't
+    tile-aligned; plain integer indexing has no such constraint)."""
     wx_t = _tent_t(ix, w, padding_mode)                   # [W, P] f32
     wy_t = _tent_t(iy, h, padding_mode)                   # [H, P] f32
     if mode == "exact":
         for c in range(channels):                         # static unroll
             # img [H,W] x wy_t [H,P] -> tmp_t [W,P]: gather+y-lerp on MXU
-            tmp_t = _contract_first(img_ref[0, c], wy_t)
+            tmp_t = _contract_first(load(c), wy_t)
             # x-lerp: weighted sublane reduction -> (1, P) lane vector
             yield c, jnp.sum(tmp_t * wx_t, axis=0, keepdims=True)
         return
@@ -240,7 +245,7 @@ def _sample_rows(ix, iy, img_ref, *, channels, h, w, padding_mode, mode):
     # weights' bf16 truncation remains as error (~3 decimal digits).
     wy_b = wy_t.astype(jnp.bfloat16)
     for c in range(channels):
-        img_b = img_ref[0, c].astype(jnp.bfloat16)
+        img_b = load(c).astype(jnp.bfloat16)
         tmp_t = _contract_lo(img_b, wy_b)                 # [W, P] f32 out
         yield c, jnp.sum(tmp_t * wx_t, axis=0, keepdims=True)
 
@@ -249,7 +254,8 @@ def _fwd_kernel(ix_ref, iy_ref, img_ref, out_ref, *, channels, h, w,
                 padding_mode, mode):
     ix = ix_ref[0, 0]                                     # [1, P] lanes
     iy = iy_ref[0, 0]
-    for c, val in _sample_rows(ix, iy, img_ref, channels=channels, h=h, w=w,
+    for c, val in _sample_rows(ix, iy, lambda c: img_ref[0, c],
+                               channels=channels, h=h, w=w,
                                padding_mode=padding_mode, mode=mode):
         out_ref[0, c, 0] = val
 
@@ -265,7 +271,8 @@ def _fwd_composite_kernel(ix_ref, iy_ref, img_ref, mask_ref, rgb_ref,
     valid_ref[0, 0] = (((ix >= 0.0) & (ix <= float(w - 1))
                         & (iy >= 0.0) & (iy <= float(h - 1)))
                        .astype(jnp.float32))
-    for c, val in _sample_rows(ix, iy, img_ref, channels=channels, h=h, w=w,
+    for c, val in _sample_rows(ix, iy, lambda c: img_ref[0, c],
+                               channels=channels, h=h, w=w,
                                padding_mode=padding_mode, mode=mode):
         warped_ref[0, c, 0] = val
         view_ref[0, c, 0] = m * val + (1.0 - m) * rgb_ref[0, c, 0]

@@ -76,7 +76,8 @@ def _fused_kernel(params_ref, depth_ref, img_ref, out_ref, valid_ref, *,
                   channels, h, w, pb, mode):
     ix, iy, valid = _correspondence(params_ref, depth_ref, w=w, pb=pb)
     valid_ref[0, 0] = valid
-    for c, val in gsp._sample_rows(ix, iy, img_ref, channels=channels, h=h,
+    for c, val in gsp._sample_rows(ix, iy, lambda c: img_ref[0, c],
+                                   channels=channels, h=h,
                                    w=w, padding_mode="zeros", mode=mode):
         out_ref[0, c, 0] = val
 
@@ -89,7 +90,8 @@ def _fused_composite_kernel(params_ref, depth_ref, img_ref, mask_ref,
     ix, iy, valid = _correspondence(params_ref, depth_ref, w=w, pb=pb)
     valid_ref[0, 0] = valid
     m = mask_ref[0, 0]                                    # [1, P]
-    for c, val in gsp._sample_rows(ix, iy, img_ref, channels=channels, h=h,
+    for c, val in gsp._sample_rows(ix, iy, lambda c: img_ref[0, c],
+                                   channels=channels, h=h,
                                    w=w, padding_mode="zeros", mode=mode):
         geo = val * valid
         geo_ref[0, c, 0] = geo

@@ -438,12 +438,47 @@ class DMV3D(nn.Module):
                  & (coords[..., 1] >= 0) & (coords[..., 1] <= h - 1)
                  ).astype(jnp.float32)                    # [B, T, K, H, W]
 
+        mask = heads["mask"].reshape(b, k, h, w, 1)
+        rgb = heads["rgb"].reshape(b, k, h, w, 3)
+
         if impl == "pallas":
+            from dynamic_multiview_3d_tpu.kernels import multiflow_pallas
+            if multiflow_pallas.kernel_supported(
+                    t, 3, k * h * w, h, w, cfg.warp_precision):
+                # Fully fused path: per-source sampling, the validity-biased
+                # softmax blend AND the mask composite run in ONE kernel —
+                # no [B,K,H,W,T,3] warped intermediate ever reaches HBM
+                # (VERDICT r3 #3). Layout: P = (K,H,W) rides the lane axis.
+                imgs = src.reshape(b, t, h, w, 3).transpose(0, 1, 4, 2, 3)
+                cc = coords.reshape(b, t, k * h * w, 2)
+                conf_tp = conf.reshape(b, k, h, w, t) \
+                    .transpose(0, 4, 1, 2, 3).reshape(b, t, k * h * w)
+                rgb_cp = rgb.transpose(0, 4, 1, 2, 3).reshape(b, 3, k * h * w)
+                view, multi, any_valid, wts = \
+                    multiflow_pallas.multiflow_composite_pix(
+                        imgs, cc[..., 0], cc[..., 1], conf_tp,
+                        mask.reshape(b, k * h * w), rgb_cp,
+                        "border", _PALLAS_INTERPRET, cfg.warp_precision)
+                def back(x):                         # [B,3,KHW] -> [B,K,H,W,3]
+                    return (x.reshape(b, 3, k, h, w)
+                            .transpose(0, 2, 3, 4, 1))
+                return {
+                    "view": back(view),
+                    "warped": back(multi),
+                    "mask": mask,
+                    "rgb": rgb,
+                    "flow": flow.reshape(b, k, h, w, t, 2)
+                                .transpose(0, 1, 4, 2, 3, 5),
+                    "flow_valid": any_valid.reshape(b, k, h, w),
+                    "conf_weights": wts.reshape(b, t, k, h, w)
+                                       .transpose(0, 2, 3, 4, 1),
+                }
             from dynamic_multiview_3d_tpu.kernels import grid_sample_pallas
             if not grid_sample_pallas.kernel_supported(
                     3, k * h * w, h, w, cfg.warp_precision):
                 impl = "jnp"
         if impl == "pallas":
+            from dynamic_multiview_3d_tpu.kernels import grid_sample_pallas
             cc = coords.reshape(b * t, k * h * w, 2)
             warped = grid_sample_pallas.sample_pixel_coords(
                 jnp.transpose(src, (0, 3, 1, 2)), cc[..., 0], cc[..., 1],
@@ -466,9 +501,6 @@ class DMV3D(nn.Module):
         wts = jax.nn.softmax(conf + (valid - 1.0) * 30.0, axis=-1)
         multi = jnp.sum(wts[..., None] * warped, axis=-2) # [B, K, H, W, 3]
         any_valid = jnp.max(valid, axis=-1)               # [B, K, H, W]
-
-        mask = heads["mask"].reshape(b, k, h, w, 1)
-        rgb = heads["rgb"].reshape(b, k, h, w, 3)
         view = mask * multi + (1.0 - mask) * rgb
         return {
             "view": view,

@@ -165,3 +165,54 @@ def test_fixed_src_views_stream_unchanged(dataset_root):
     assert src_views.shape == (2,) and len(set(src_views.tolist())) == 1
     ex = ds.example(5)
     assert np.abs(np.diff(ex["src_poses"], axis=0)).max() < 1e-6
+
+
+# ------------------------------------------------- disk-free synthetic frames
+def test_synthetic_frames_source_contract():
+    """SyntheticFrames: the frames contract with zero prior setup — fixed
+    per-scene cameras, orbit draws, deterministic examples, and the packed
+    protocol after materialize (the c3mf out-of-the-box path)."""
+    cfg = config_lib.DataConfig(source="frames", root="", image_size=32,
+                                seq_len=3, num_targets=2, num_scenes=4,
+                                src_views="orbit", dynamic=True)
+    ds = frames_lib.SyntheticFrames(cfg)
+    assert len(ds.scenes) == 4
+    distinct = [len(set(ds.sample_indices(i)[1].tolist())) for i in range(8)]
+    assert all(d == 3 for d in distinct), distinct
+    ex = ds.example(1)
+    assert ex["image_seq"].shape == (3, 32, 32, 3)
+    assert np.abs(np.diff(ex["src_poses"], axis=0)).max() > 1e-3
+    np.testing.assert_array_equal(ex["image_seq"],
+                                  ds.example(1)["image_seq"])
+    # packed protocol: ineligible before materialize, eligible after,
+    # and the example stream is unchanged by materialization
+    from dynamic_multiview_3d_tpu.data import resident as resident_lib
+    assert not resident_lib.fits_budget(ds, cfg)
+    before = ds.batch(range(4))
+    ds.materialize_packed()
+    assert resident_lib.fits_budget(ds, cfg)
+    after = ds.batch(range(4))
+    for key in before:
+        np.testing.assert_allclose(before[key], after[key], atol=1e-6,
+                                   err_msg=key)
+
+
+def test_make_source_empty_root_falls_back_to_synthetic_frames():
+    from dynamic_multiview_3d_tpu.data import pipeline as pipeline_lib
+    cfg = config_lib.DataConfig(source="frames", root="", image_size=32,
+                                num_scenes=2)
+    with pytest.warns(UserWarning, match="SyntheticFrames"):
+        src = pipeline_lib.make_source(cfg)
+    assert isinstance(src, frames_lib.SyntheticFrames)
+
+
+def test_synthetic_frames_disjoint_scene_offsets():
+    """Disjoint scene_offset ranges give disjoint geometry — the
+    held-out-scene eval protocol without any export."""
+    mk = lambda off: frames_lib.SyntheticFrames(config_lib.DataConfig(
+        source="frames", root="", image_size=32, num_scenes=2,
+        scene_offset=off))
+    a, b = mk(0), mk(2)
+    fa = a._read_frame(a.scenes[0], 0, 0)
+    fb = b._read_frame(b.scenes[0], 0, 0)
+    assert np.abs(fa.astype(int) - fb.astype(int)).max() > 8

@@ -376,3 +376,28 @@ def test_ema_params_track_and_export(tmp_path):
 
     assert dist(e, p0) < dist(p, p0)          # EMA lags the raw params
     assert dist(e, p0) > 0                    # ...but does move
+
+
+def test_c3mf_preset_out_of_the_box(tmp_path):
+    """The flagship preset must train with NO prior setup (VERDICT r3 #7):
+    empty data.root resolves to the in-memory synthetic frame bank, which
+    materializes packed banks, goes HBM/device-resident and samples
+    in-program (device_sampling) — shrunk shapes, full mechanism."""
+    cfg = config_lib.get_config("c3mf", [
+        "model.image_size=16", "model.num_levels=2", "model.base_features=8",
+        "model.max_features=16", "model.gru_features=16",
+        "model.pose_embed_dim=8", "model.dtype=float32",
+        "model.use_pallas=False",
+        "data.image_size=16", "data.batch_size=2", "data.num_scenes=2",
+        "data.seq_len=3",
+        "train.num_steps=16", "train.log_every=16", "train.ckpt_every=16",
+        "train.steps_per_dispatch=16", f"train.ckpt_dir={tmp_path}/ckpt",
+        "mesh.data=1",
+    ])
+    assert cfg.data.source == "frames" and cfg.data.root == ""
+    assert cfg.model.synthesis == "multiflow"
+    assert cfg.data.src_views == "orbit" and cfg.data.device_sampling
+    with pytest.warns(UserWarning, match="SyntheticFrames"):
+        state, metrics = loop_lib.train(cfg)
+    assert int(np.asarray(state.step)) == 16
+    assert np.isfinite(metrics["loss/total"])
