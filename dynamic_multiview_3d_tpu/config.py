@@ -136,6 +136,12 @@ class DataConfig:
                                      # consumes no host input at all. Stream
                                      # is seeded+resumable but differs from
                                      # the host sampler's (jax vs numpy rng)
+    verify_crc: bool = False         # tfrecords: verify both masked CRCs of
+                                     # every record during the index pass
+                                     # (payload bit-flips otherwise parse
+                                     # fine and feed garbage pixels
+                                     # silently); off by default — it reads
+                                     # every payload byte once at startup
     resident_sharding: str = "replicate"  # "replicate": every device holds
                                      # the full bank. "scenes": the bank is
                                      # SHARDED along the 'data' mesh axis by

@@ -65,7 +65,15 @@ def _crc32c_table() -> np.ndarray:
     return _CRC_TABLE
 
 
+try:                                           # C implementation when present
+    from google_crc32c import value as _crc32c_fast
+except Exception:                              # pragma: no cover
+    _crc32c_fast = None
+
+
 def _crc32c(data: bytes) -> int:
+    if _crc32c_fast is not None:
+        return _crc32c_fast(bytes(data))
     table = _crc32c_table()
     crc = np.uint32(0xFFFFFFFF)
     for b in np.frombuffer(data, np.uint8):
@@ -90,12 +98,15 @@ def _example_pb2():
 
 # --- framing -------------------------------------------------------------
 
-def iter_record_spans(path: str):
+def iter_record_spans(path: str, verify_crc: bool = False):
     """Yield (offset, length) of each record payload in a TFRecord shard.
 
-    Framing only — no CRC verification (corruption surfaces as a proto
-    parse error at access time) and no payload copies: one pass over the
-    12-byte headers.
+    Default: framing only — no CRC verification (framing corruption
+    surfaces as a proto parse error at access time) and no payload copies:
+    one pass over the 12-byte headers. A bit-flip INSIDE a payload parses
+    fine though, silently feeding garbage pixels — ``verify_crc=True``
+    (``data.verify_crc``) checks both masked CRCs per record during the
+    index pass and raises with the shard/offset on the first mismatch.
     """
     size = os.path.getsize(path)
     with open(path, "rb") as f:
@@ -106,6 +117,17 @@ def iter_record_spans(path: str):
             payload_at = pos + 12
             if payload_at + length + 4 > size:
                 raise ValueError(f"truncated tfrecord shard: {path}")
+            if verify_crc:
+                (len_crc,) = struct.unpack("<I", header[8:12])
+                if len_crc != _masked_crc(header[:8]):
+                    raise ValueError(
+                        f"tfrecord length-CRC mismatch at {path}:{pos}")
+                payload = f.read(length)
+                (pay_crc,) = struct.unpack("<I", f.read(4))
+                if pay_crc != _masked_crc(payload):
+                    raise ValueError(
+                        f"tfrecord payload-CRC mismatch at "
+                        f"{path}:{payload_at} (length {length})")
             yield payload_at, length
             pos = payload_at + length + 4
             f.seek(pos)
@@ -140,7 +162,8 @@ class TFRecordScenes(FrameFolderScenes):
         for si, shard in enumerate(self.shards):
             with open(shard, "rb") as f:
                 data = f.read()
-            for off, length in iter_record_spans(shard):
+            for off, length in iter_record_spans(
+                    shard, verify_crc=cfg.verify_crc):
                 ex = pb.Example.FromString(data[off:off + length])
                 feat = ex.features.feature
                 name = feat["scene"].bytes_list.value[0].decode()

@@ -96,6 +96,7 @@ def export_predict(model, path: str, batch: int = 1, seq_len: int | None = None,
     exported = jax_export.export(jax.jit(fn), **kw)(*args)
     blob = exported.serialize()
 
+    from dynamic_multiview_3d_tpu.api import DEFAULT_POSE
     manifest = {
         "version": MANIFEST_VERSION,
         "platforms": list(exported.platforms),
@@ -104,6 +105,9 @@ def export_predict(model, path: str, batch: int = 1, seq_len: int | None = None,
         "tgt_poses": [batch, num_targets, 3],
         "view": [batch, num_targets, s, s, 3],
         "param_names": names,
+        # default source pose rides IN the artifact so the loader never
+        # imports this package's model code ("jax + numpy only")
+        "default_pose": list(DEFAULT_POSE),
     }
     npz = io.BytesIO()
     np.savez(npz, **flat)
@@ -155,9 +159,13 @@ class ServedModel:
         image_seq = np.asarray(image_seq, np.float32)
         target_poses = np.asarray(target_poses, np.float32)
         if source_poses is None:
-            from dynamic_multiview_3d_tpu.api import DEFAULT_POSE
+            # artifacts since manifest "default_pose" carry the pose; the
+            # fallback constant keeps pre-field artifacts loadable (it is
+            # api.DEFAULT_POSE's value, inlined so the loader stays
+            # model-code-free)
+            pose = m.get("default_pose", (0.0, 0.3, 2.0))
             source_poses = np.broadcast_to(
-                np.asarray(DEFAULT_POSE, np.float32), tuple(m["src_poses"]))
+                np.asarray(pose, np.float32), tuple(m["src_poses"]))
         source_poses = np.asarray(source_poses, np.float32)
         for name, arr in (("image_seq", image_seq),
                           ("src_poses", source_poses),

@@ -167,3 +167,36 @@ def test_materialized_tfrecords_ride_the_resident_path():
         step_fn = step_lib.make_train_step(cfg, mesh=mesh, resident=res)
         state, m = step_fn(state, None)          # zero host input
         assert np.isfinite(float(m["loss/total"]))
+
+
+def test_verify_crc_catches_payload_bitflip(tfr_root, tmp_path):
+    """data.verify_crc: framing alone can't see a bit-flip INSIDE a payload
+    (it parses fine, feeding garbage pixels) — the opt-in CRC pass must."""
+    import os
+    import shutil
+    import struct
+
+    root = tmp_path / "corrupt"
+    shutil.copytree(tfr_root, root)
+    shard = sorted(str(p) for p in root.glob("*.tfrecord"))[0]
+    # locate a record payload and flip one byte in its middle
+    off, length = next(tfr_lib.iter_record_spans(shard))
+    with open(shard, "r+b") as f:
+        f.seek(off + length // 2)
+        b = f.read(1)
+        f.seek(off + length // 2)
+        f.write(bytes([b[0] ^ 0x10]))
+
+    ok_cfg = config_lib.DataConfig(source="tfrecords", root=str(root),
+                                   image_size=32, seq_len=2, num_targets=1)
+    tfr_lib.TFRecordScenes(ok_cfg)        # framing-only: corruption unseen
+    crc_cfg = config_lib.DataConfig(source="tfrecords", root=str(root),
+                                    image_size=32, seq_len=2, num_targets=1,
+                                    verify_crc=True)
+    with pytest.raises(ValueError, match="payload-CRC mismatch"):
+        tfr_lib.TFRecordScenes(crc_cfg)
+    # the clean export passes a verifying pass
+    clean = config_lib.DataConfig(source="tfrecords", root=tfr_root,
+                                  image_size=32, seq_len=2, num_targets=1,
+                                  verify_crc=True)
+    tfr_lib.TFRecordScenes(clean)
