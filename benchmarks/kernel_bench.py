@@ -163,6 +163,84 @@ def main(n=128, hw=128, c=3):
             loop_time(geo_bwd_body(kind, prec), n_iters=10) * 1e3, 3)
     results["geo_fwdbwd_speedup_pallas"] = round(
         results["geo_jnp_fwdbwd_ms"] / results["geo_pallas_fwdbwd_ms"], 2)
+
+    # --- multiflow composite (VERDICT r3 #5) at the c3mf flagship shape:
+    # B=8 examples x T=8 orbit sources blended into K=2 targets at 128².
+    from dynamic_multiview_3d_tpu.kernels import multiflow_pallas
+
+    mb, mt, mk = 8, 8, 2
+    mp = mk * hw * hw
+    mimgs = jnp.asarray(
+        rng.uniform(-1, 1, (mb, mt, c, hw, hw)).astype(np.float32))
+    mix = jnp.asarray(
+        rng.uniform(-6, hw + 5, (mb, mt, mp)).astype(np.float32))
+    miy = jnp.asarray(
+        rng.uniform(-6, hw + 5, (mb, mt, mp)).astype(np.float32))
+    mconf = jnp.asarray(rng.standard_normal((mb, mt, mp)).astype(np.float32))
+    mmask = jnp.asarray(rng.uniform(0, 1, (mb, mp)).astype(np.float32))
+    mrgb = jnp.asarray(rng.uniform(-1, 1, (mb, c, mp)).astype(np.float32))
+
+    def mf_ref(imgs, ixx, iyy, conf, msk, rgbp, sampler):
+        """The pre-fusion composition: per-source sampling (jnp gather or
+        the single-source Pallas kernel) + softmax blend/composite in XLA —
+        materializes the [N,T,C,P] warped intermediate the fused kernel
+        keeps in VMEM (models/dmv3d.py:404 docstring)."""
+        nn_, tt, pp = ixx.shape
+        valid = ((ixx >= 0) & (ixx <= hw - 1) & (iyy >= 0)
+                 & (iyy <= hw - 1)).astype(jnp.float32)
+        wts = jax.nn.softmax(conf + (valid - 1.0) * 30.0, axis=1)
+        if sampler == "jnp":
+            nhwc = imgs.transpose(0, 1, 3, 4, 2).reshape(nn_ * tt, hw, hw, c)
+            grid = sampling.normalize_coords(
+                jnp.stack([ixx, iyy], -1).reshape(nn_ * tt, 1, pp, 2),
+                hw, hw, align_corners=True)
+            warped = sampling.grid_sample(
+                nhwc, grid, align_corners=True, padding_mode="border")
+            warped = warped.reshape(nn_, tt, pp, c).transpose(0, 1, 3, 2)
+        else:                                   # single-source Pallas sampler
+            warped = gsp.sample_pixel_coords(
+                imgs.reshape(nn_ * tt, c, hw, hw),
+                ixx.reshape(nn_ * tt, pp), iyy.reshape(nn_ * tt, pp),
+                "border", False, "fast").reshape(nn_, tt, c, pp)
+        multi = jnp.sum(wts[:, :, None] * warped, axis=1)
+        return msk[:, None] * multi + (1.0 - msk[:, None]) * rgbp
+
+    def mf_fwd_body(kind):
+        def body(acc):
+            ixj = mix + acc * 1e-9
+            if kind == "fused":
+                v, _, _, _ = multiflow_pallas.multiflow_composite_pix(
+                    mimgs, ixj, miy, mconf, mmask, mrgb, "border", False,
+                    "fast")
+            else:
+                v = mf_ref(mimgs, ixj, miy, mconf, mmask, mrgb, kind)
+            return jnp.mean(v)
+        return body
+
+    def mf_bwd_body(kind):
+        def loss(ixx, conf, msk):
+            if kind == "fused":
+                v, _, _, _ = multiflow_pallas.multiflow_composite_pix(
+                    mimgs, ixx, miy, conf, msk, mrgb, "border", False,
+                    "fast")
+            else:
+                v = mf_ref(mimgs, ixx, miy, conf, msk, mrgb, kind)
+            return jnp.mean(v ** 2)
+        def body(acc):
+            g = jax.grad(loss, argnums=(0, 1, 2))(mix + acc * 1e-9, mconf,
+                                                  mmask)
+            return jnp.mean(g[0])
+        return body
+
+    for kind in ("jnp", "pallas", "fused"):
+        tag = {"jnp": "mf_jnp", "pallas": "mf_semifused",
+               "fused": "mf_fused"}[kind]
+        results[f"{tag}_fwd_ms"] = round(
+            loop_time(mf_fwd_body(kind)) * 1e3, 3)
+        results[f"{tag}_fwdbwd_ms"] = round(
+            loop_time(mf_bwd_body(kind), n_iters=10) * 1e3, 3)
+    results["mf_fwdbwd_speedup_fused"] = round(
+        results["mf_jnp_fwdbwd_ms"] / results["mf_fused_fwdbwd_ms"], 2)
     print(json.dumps(results))
 
 
