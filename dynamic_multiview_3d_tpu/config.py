@@ -53,7 +53,11 @@ class ModelConfig:
                                      # | "multiflow" (warp EVERY source frame
                                      #   with per-source flow + confidence
                                      #   softmax blend — true multiview)
-                                     # | "depth" (reprojection)
+                                     # | "depth" (reprojection of last frame)
+                                     # | "multidepth" (ONE predicted target
+                                     #   depth reprojects EVERY source frame;
+                                     #   per-source confidence blend — the
+                                     #   geometric twin of multiflow)
     dtype: str = "bfloat16"          # compute dtype (params stay float32)
     heads_dtype: str = ""            # head-conv compute dtype; "" follows
                                      # model.dtype. bfloat16 (the effective

@@ -214,6 +214,22 @@ class Decoder(nn.Module):
                               name="depth_head")(xf).astype(jnp.float32)
                 out["depth"] = nn.softplus(raw)[..., 0] + 0.1
             return out
+        if cfg.synthesis == "multidepth":
+            # Geometric twin of the multiflow heads (VERDICT r3 missing #4):
+            # ONE target-view depth map (geometry is target-centric — the
+            # same surface reprojects into every source) plus a confidence
+            # logit PER SOURCE for the appearance blend. No flow fields:
+            # correspondences come from depth + relative camera transforms.
+            s = num_sources
+            hm = nn.Conv(s + 4, (3, 3), padding="SAME", dtype=dth,
+                         name="heads_multi")(xf).astype(jnp.float32)
+            out = {"conf": hm[..., :s],                # [N, H, W, S] logits
+                   "mask": nn.sigmoid(hm[..., s:s + 1]),
+                   "rgb": jnp.tanh(hm[..., s + 1:s + 4])}
+            raw = nn.Conv(1, (3, 3), padding="SAME", dtype=dth,
+                          name="depth_head")(xf).astype(jnp.float32)
+            out["depth"] = nn.softplus(raw)[..., 0] + 0.1
+            return out
         h3 = nn.Conv(6, (3, 3), padding="SAME", dtype=dth,
                      name="heads")(xf).astype(jnp.float32)
         flow = jnp.tanh(h3[..., 0:2]) * (cfg.max_flow * cfg.image_size)
@@ -295,7 +311,7 @@ class DMV3D(nn.Module):
         # source, so it needs to know where each one sits relative to the
         # target); the single-warp paths keep the last-source code.
         src_last = src_poses[:, -1]                                # [B, 3]
-        if cfg.synthesis == "multiflow":
+        if cfg.synthesis in ("multiflow", "multidepth"):
             src_rep = jnp.repeat(src_poses, k, axis=0)             # [B*K,T,3]
             tgt_rep = jnp.broadcast_to(
                 tgt_poses.reshape(b * k, 1, -1), src_rep.shape)
@@ -325,6 +341,9 @@ class DMV3D(nn.Module):
 
         if cfg.synthesis == "multiflow":
             return self._multiflow_composite(heads, image_seq, impl)
+        if cfg.synthesis == "multidepth":
+            return self._multidepth_composite(heads, image_seq, src_poses,
+                                              tgt_poses, impl)
 
         # --- synthesis: appearance-flow warp of the last frame + compositing.
         # On TPU with flow synthesis the warp, the composite AND the
@@ -512,3 +531,107 @@ class DMV3D(nn.Module):
             "flow_valid": any_valid,
             "conf_weights": wts,                          # [B, K, H, W, T]
         }
+
+    def _multidepth_composite(self, heads: dict, image_seq: jnp.ndarray,
+                              src_poses: jnp.ndarray, tgt_poses: jnp.ndarray,
+                              impl: str) -> dict:
+        """Multiview GEOMETRIC synthesis (cfg.synthesis='multidepth') — the
+        depth twin of multiflow (VERDICT r3 missing #4). The decoder predicts
+        ONE depth map per target view (the scene surface is target-centric);
+        each source frame is resampled at the correspondences that depth
+        induces under the source's own relative camera transform, and the
+        samples are blended by learned per-source confidence, exactly like
+        multiflow. Where multiflow lets the network pick correspondences
+        freely, multidepth constrains them to a single consistent geometry —
+        T views of one surface instead of T independent warps.
+
+        TPU layout: the per-source correspondence math (9 FMAs + a divide
+        per pixel per source, `ops/reproject.py:reproject_coords` batched
+        over B*K*T) is cheap elementwise XLA; the expensive part — per-source
+        sampling + softmax blend + composite — reuses the SAME fused Pallas
+        kernel as multiflow (`multiflow_composite_pix` takes pixel coords,
+        it does not care whether a flow head or reprojection produced them),
+        so the [B,K,H,W,T,3] warped intermediate again never reaches HBM.
+        Behind-camera reprojections (z <= eps) are excluded from the blend
+        by a -30 logit bias folded into the confidence before the kernel;
+        the kernel adds the same bias for out-of-bounds coords.
+        """
+        cfg = self.cfg
+        if cfg.predict_depth:
+            raise ValueError("synthesis='multidepth' already predicts depth; "
+                             "predict_depth=True is only for adding the "
+                             "geometric side-path to 'flow' synthesis")
+        b, t, h, w, _ = image_seq.shape
+        k = tgt_poses.shape[1]
+        depth = heads["depth"]                             # [B*K, H, W]
+        conf = heads["conf"]                               # [B*K, H, W, T]
+        mask = heads["mask"].reshape(b, k, h, w, 1)
+        rgb = heads["rgb"].reshape(b, k, h, w, 3)
+        src = image_seq.astype(jnp.float32).reshape(b * t, h, w, 3)
+
+        # rel[b,k,t] = transform taking target-camera (b,k) coords into
+        # source-camera (b,t) coords; flattened N = (B,K,T) row-major.
+        t_tgt = pose_ops.look_at_extrinsics(
+            tgt_poses.reshape(b * k, -1)).reshape(b, k, 1, 4, 4)
+        t_src = pose_ops.look_at_extrinsics(
+            src_poses.reshape(b * t, -1)).reshape(b, 1, t, 4, 4)
+        rel = pose_ops.relative_transform(
+            jnp.broadcast_to(t_src, (b, k, t, 4, 4)),
+            jnp.broadcast_to(t_tgt, (b, k, t, 4, 4))).reshape(-1, 4, 4)
+        focal = jnp.full((b * k * t,), float(max(h, w)), jnp.float32)
+        intr = pose_ops.intrinsics_matrix(focal, (w - 1) / 2.0, (h - 1) / 2.0)
+        depth_rep = jnp.repeat(depth.astype(jnp.float32), t, axis=0)
+        coords, z_ok = reproject_ops.reproject_coords(depth_rep, intr, rel)
+        coords = coords.reshape(b, k, t, h, w, 2)
+        z_ok = z_ok.reshape(b, k, t, h, w)
+        inb = ((coords[..., 0] >= 0) & (coords[..., 0] <= w - 1)
+               & (coords[..., 1] >= 0) & (coords[..., 1] <= h - 1)
+               ).astype(jnp.float32)                       # [B, K, T, H, W]
+        # geometric validity = in-front AND in-bounds; any-source validity is
+        # the mask head's supervision target (losses.total_loss).
+        any_valid = jnp.max(z_ok * inb, axis=2)            # [B, K, H, W]
+        conf_bk = conf.reshape(b, k, h, w, t)
+        # fold the z-validity into the logits; the sampler's own bias
+        # handles out-of-bounds.
+        conf_z = conf_bk + (z_ok.transpose(0, 1, 3, 4, 2) - 1.0) * 30.0
+
+        out = {"mask": mask, "rgb": rgb,
+               "depth": depth.reshape(b, k, h, w),
+               "geo_valid": any_valid}
+
+        if impl == "pallas":
+            from dynamic_multiview_3d_tpu.kernels import multiflow_pallas
+            if not multiflow_pallas.kernel_supported(
+                    t, 3, k * h * w, h, w, cfg.warp_precision):
+                impl = "jnp"
+        if impl == "pallas":
+            imgs = src.reshape(b, t, h, w, 3).transpose(0, 1, 4, 2, 3)
+            cc = (coords.transpose(0, 2, 1, 3, 4, 5)      # [B,T,K,H,W,2]
+                  .reshape(b, t, k * h * w, 2))
+            conf_tp = conf_z.transpose(0, 4, 1, 2, 3).reshape(b, t, k * h * w)
+            rgb_cp = rgb.transpose(0, 4, 1, 2, 3).reshape(b, 3, k * h * w)
+            view, multi, _, wts = multiflow_pallas.multiflow_composite_pix(
+                imgs, cc[..., 0], cc[..., 1], conf_tp,
+                mask.reshape(b, k * h * w), rgb_cp,
+                "border", _PALLAS_INTERPRET, cfg.warp_precision)
+            def back(x):                             # [B,3,KHW] -> [B,K,H,W,3]
+                return x.reshape(b, 3, k, h, w).transpose(0, 2, 3, 4, 1)
+            out.update(
+                view=back(view), warped=back(multi), geo_view=back(multi),
+                conf_weights=wts.reshape(b, t, k, h, w)
+                               .transpose(0, 2, 3, 4, 1))
+            return out
+
+        grid = sampling.normalize_coords(
+            coords.transpose(0, 2, 1, 3, 4, 5).reshape(b * t, k * h, w, 2),
+            h, w, align_corners=True)
+        warped = sampling.grid_sample(
+            src, grid, align_corners=True, padding_mode="border")
+        warped = warped.reshape(b, t, k, h, w, 3) \
+            .transpose(0, 2, 3, 4, 1, 5)                  # [B, K, H, W, T, 3]
+        inb_bk = inb.transpose(0, 1, 3, 4, 2)             # [B, K, H, W, T]
+        wts = jax.nn.softmax(conf_z + (inb_bk - 1.0) * 30.0, axis=-1)
+        multi = jnp.sum(wts[..., None] * warped, axis=-2)  # [B, K, H, W, 3]
+        view = mask * multi + (1.0 - mask) * rgb
+        out.update(view=view, warped=multi, geo_view=multi, conf_weights=wts)
+        return out

@@ -52,7 +52,7 @@ def total_loss(out: dict, batch: dict, cfg: TrainConfig,
     """
     target = batch["tgt_images"]
     l1 = l1_loss(out["view"], target)
-    if synthesis == "depth":
+    if synthesis in ("depth", "multidepth"):
         validity = out["geo_valid"][..., None]
     elif "flow_valid" in out:
         # computed inside the fused warp kernel (or the model's jnp path)
@@ -69,7 +69,9 @@ def total_loss(out: dict, batch: dict, cfg: TrainConfig,
         ls = 1.0 - metrics_lib.ssim(out["view"], target)
         loss = loss + cfg.ssim_weight * ls
         metrics["loss/dssim"] = ls
-    if cfg.smooth_weight > 0:
+    if cfg.smooth_weight > 0 and "flow" in out:
+        # multidepth has no flow fields — correspondences come from depth,
+        # whose geo_l1 term below is the regularizer that applies there.
         ls = smoothness_loss(out["flow"])
         loss = loss + cfg.smooth_weight * ls
         metrics["loss/smooth"] = ls

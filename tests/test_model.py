@@ -239,6 +239,185 @@ def test_multiflow_rejects_predict_depth(rng):
         model.init(jax.random.key(0), seq, src, tgt)
 
 
+def test_multidepth_shapes_and_weights(rng):
+    """multidepth: ONE depth per target + per-source confidences; blend
+    weights sum to 1; depth positive; view bounded (convex blend of
+    border-padded samples and rgb)."""
+    cfg = _cfg(synthesis="multidepth")
+    model = DMV3D(cfg)
+    seq, src, tgt = _inputs(rng, b=2, t=3, k=2)
+    variables = jax.jit(model.init)(jax.random.key(0), seq, src, tgt)
+    out = jax.jit(model.apply)(variables, seq, src, tgt)
+    assert out["view"].shape == (2, 2, 64, 64, 3)
+    assert out["depth"].shape == (2, 2, 64, 64)
+    assert out["conf_weights"].shape == (2, 2, 64, 64, 3)
+    assert out["geo_valid"].shape == (2, 2, 64, 64)
+    assert "flow" not in out                    # no flow fields in this mode
+    w = np.asarray(out["conf_weights"])
+    np.testing.assert_allclose(w.sum(-1), 1.0, atol=1e-5)
+    assert np.all(np.asarray(out["depth"]) > 0)
+    assert np.all(np.isfinite(np.asarray(out["view"])))
+    assert float(jnp.abs(out["view"]).max()) <= 1.0 + 1e-5
+
+
+def test_multidepth_every_source_contributes(rng):
+    """Appearance gradients must reach EVERY source frame through its own
+    reprojection — the single-source depth path only back-props into the
+    last frame."""
+    cfg = _cfg(synthesis="multidepth")
+    model = DMV3D(cfg)
+    seq, src, tgt = _inputs(rng, b=1, t=3, k=1)
+    variables = jax.jit(model.init)(jax.random.key(0), seq, src, tgt)
+
+    def total(s):
+        return jnp.sum(model.apply(variables, s, src, tgt)["view"])
+
+    g = jax.jit(jax.grad(total))(seq)
+    for t in range(3):
+        assert float(jnp.abs(g[:, t]).max()) > 1e-8, f"source {t} unused"
+
+
+def test_multidepth_depth_is_learnable(rng):
+    """The view must be differentiable IN THE GEOMETRY: gradients flow from
+    the blended view back into the depth head's parameters (the whole point
+    of constraining correspondences to one surface)."""
+    cfg = _cfg(synthesis="multidepth")
+    model = DMV3D(cfg)
+    seq, src, tgt = _inputs(rng, b=1, t=2, k=1)
+    variables = jax.jit(model.init)(jax.random.key(0), seq, src, tgt)
+
+    def loss(params):
+        return jnp.sum(model.apply({"params": params}, seq, src, tgt)["view"])
+
+    g = jax.jit(jax.grad(loss))(variables["params"])
+    gd = g["decoder"]["depth_head"]["kernel"]
+    assert float(jnp.abs(gd).max()) > 1e-10, "no gradient into depth head"
+
+
+def test_multidepth_pallas_composite_matches_jnp(rng, monkeypatch):
+    """Same heads through the fused-kernel (interpret) and jnp multidepth
+    composites — reprojection layout, z-bias folding, and transposes must
+    agree exactly."""
+    from dynamic_multiview_3d_tpu.models import dmv3d as dmv3d_lib
+
+    cfg = _cfg(synthesis="multidepth", warp_precision="exact")
+    model = DMV3D(cfg)
+    b, t, k, s = 1, 3, 2, 64
+    seq = jnp.asarray(rng.uniform(-1, 1, (b, t, s, s, 3)).astype(np.float32))
+    src = jnp.asarray(rng.uniform(0, 1, (b, t, 3)).astype(np.float32)
+                      + [0, 0, 1])
+    tgt = jnp.asarray(rng.uniform(0, 1, (b, k, 3)).astype(np.float32)
+                      + [0, 0, 1])
+    heads = {
+        "depth": jnp.asarray(rng.uniform(0.5, 2.5, (b * k, s, s))
+                             .astype(np.float32)),
+        "conf": jnp.asarray(rng.standard_normal((b * k, s, s, t))
+                            .astype(np.float32)),
+        "mask": jnp.asarray(rng.uniform(0, 1, (b * k, s, s, 1))
+                            .astype(np.float32)),
+        "rgb": jnp.asarray(rng.uniform(-1, 1, (b * k, s, s, 3))
+                           .astype(np.float32)),
+    }
+    monkeypatch.setattr(dmv3d_lib, "_PALLAS_INTERPRET", True)
+    out_p = model._multidepth_composite(heads, seq, src, tgt, "pallas")
+    out_j = model._multidepth_composite(heads, seq, src, tgt, "jnp")
+    for key in ("view", "warped", "geo_view", "geo_valid", "conf_weights"):
+        np.testing.assert_allclose(np.asarray(out_p[key]),
+                                   np.asarray(out_j[key]),
+                                   rtol=1e-4, atol=1e-4, err_msg=key)
+
+
+def test_multidepth_correct_depth_reconstructs(rng):
+    """Ground-truth geometry sanity: render a flat textured plane at known
+    depth, give the composite the TRUE depth and uniform confidences — the
+    blended view must reconstruct the target view far better than a wrong
+    depth does (pure geometry, no learned parts)."""
+    from dynamic_multiview_3d_tpu.models import dmv3d as dmv3d_lib
+    from dynamic_multiview_3d_tpu.ops import pose as pose_ops
+    from dynamic_multiview_3d_tpu.ops import reproject as reproject_ops
+
+    cfg = _cfg(synthesis="multidepth")
+    model = DMV3D(cfg)
+    b, t, k, s = 1, 2, 1, 64
+    # target camera straight on; sources slightly rotated on the orbit
+    tgt = jnp.asarray([[[0.0, 0.0, 2.0]]], jnp.float32)          # [1,1,3]
+    src = jnp.asarray([[[0.06, 0.0, 2.0], [-0.06, 0.03, 2.0]]],
+                      jnp.float32)                               # [1,2,3]
+    # scene: textured plane z=const in the TARGET camera. Render each source
+    # view by reprojecting the target image with the true depth (the same
+    # geometry the composite should invert). The texture must be SMOOTH:
+    # the source render + composite re-sample is a double bilinear
+    # interpolation, which annihilates per-pixel noise even with perfect
+    # geometry — low-frequency sinusoids survive it almost exactly.
+    yy, xx = np.meshgrid(np.linspace(0, 2 * np.pi, s),
+                         np.linspace(0, 2 * np.pi, s), indexing="ij")
+    tex = jnp.asarray(np.stack([np.sin(2 * xx) * np.cos(yy),
+                                np.sin(xx + 2 * yy),
+                                np.cos(3 * xx) * np.sin(2 * yy)],
+                               -1)[None].astype(np.float32))
+    depth_true = jnp.full((b * k, s, s), 1.7, jnp.float32)
+    focal = jnp.full((b * k * t,), float(s), jnp.float32)
+    intr = pose_ops.intrinsics_matrix(focal, (s - 1) / 2, (s - 1) / 2)
+    t_tgt = pose_ops.look_at_extrinsics(tgt.reshape(1, 3))
+    t_src = pose_ops.look_at_extrinsics(src.reshape(t, 3))
+    # source images: sample the target texture where each SOURCE pixel's ray
+    # (at the plane depth in the source camera... approximated by rendering
+    # from the target instead: warp tex into each source with rel inverted)
+    rel_s2t = pose_ops.relative_transform(
+        jnp.broadcast_to(t_tgt, (t, 4, 4)), t_src)      # src-cam -> tgt-cam
+    # depth of the plane as seen from each source ≈ same order; use the
+    # true value — small rotations keep the approximation tight enough for
+    # the contrast assertion below (correct vs clearly-wrong depth).
+    d_src = jnp.full((t, s, s), 1.7, jnp.float32)
+    src_imgs, _ = reproject_ops.depth_reproject_sample(
+        jnp.broadcast_to(tex, (t, s, s, 3)), d_src,
+        intr[:t], rel_s2t, padding_mode="border")
+    seq = src_imgs[None]                                  # [1, T, H, W, 3]
+
+    def render(depth_val):
+        heads = {
+            "depth": jnp.full((b * k, s, s), depth_val, jnp.float32),
+            "conf": jnp.zeros((b * k, s, s, t), jnp.float32),
+            "mask": jnp.ones((b * k, s, s, 1), jnp.float32),
+            "rgb": jnp.zeros((b * k, s, s, 3), jnp.float32),
+        }
+        out = model._multidepth_composite(heads, seq, src, tgt, "jnp")
+        v = np.asarray(out["view"])[0, 0]
+        gv = np.asarray(out["geo_valid"])[0, 0] > 0.5
+        err = np.abs(v - np.asarray(tex)[0])[gv]
+        return float(err.mean())
+
+    err_true, err_wrong = render(1.7), render(0.6)
+    assert err_true < 0.5 * err_wrong, (err_true, err_wrong)
+
+
+def test_multidepth_rejects_predict_depth(rng):
+    cfg = _cfg(synthesis="multidepth", predict_depth=True)
+    model = DMV3D(cfg)
+    seq, src, tgt = _inputs(rng, b=1, t=2, k=1)
+    with pytest.raises(ValueError, match="multidepth"):
+        model.init(jax.random.key(0), seq, src, tgt)
+
+
+def test_multidepth_total_loss(rng):
+    """losses.total_loss consumes multidepth outputs: mask supervision uses
+    geo_valid, the geo_l1 term supervises the blended geometric view, and
+    the smoothness term is a no-op (no flow fields)."""
+    from dynamic_multiview_3d_tpu.train import losses as losses_lib
+
+    cfg = _cfg(synthesis="multidepth")
+    model = DMV3D(cfg)
+    seq, src, tgt = _inputs(rng, b=1, t=2, k=2)
+    variables = jax.jit(model.init)(jax.random.key(0), seq, src, tgt)
+    out = jax.jit(model.apply)(variables, seq, src, tgt)
+    batch = {"tgt_images": jnp.zeros_like(out["view"])}
+    tc = config_lib.TrainConfig(smooth_weight=0.1)
+    loss, metrics = losses_lib.total_loss(out, batch, tc,
+                                          synthesis="multidepth")
+    assert np.isfinite(float(loss))
+    assert "loss/geo_l1" in metrics and "loss/smooth" not in metrics
+
+
 @pytest.mark.slow
 def test_convlstm_recurrence(rng):
     cfg = _cfg(rnn="lstm")
