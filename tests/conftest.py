@@ -16,11 +16,6 @@ if not os.environ.get("DMV3D_TEST_TPU"):
             flags + " --xla_force_host_platform_device_count=8"
         ).strip()
 
-# XLA compiles are remote in this environment (slow round trips even for the
-# CPU backend) — persist everything compiled across test runs.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
-
 import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
@@ -33,6 +28,17 @@ if not os.environ.get("DMV3D_TEST_TPU"):
     jax.config.update("jax_platforms", "cpu")
     assert jax.default_backend() == "cpu", jax.devices()
     assert len(jax.devices()) == 8, jax.devices()
+
+# XLA compiles dominate the fast tier on this 1-core host — persist every
+# compiled executable across test runs. Env vars are NOT enough here: the
+# axon sitecustomize imports jax at interpreter start, so jax.config read
+# its env-var defaults before this file ran (the same reason the platform
+# override above uses jax.config.update). Setting the config directly is
+# the only path that actually enables the cache under pytest.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                 "/root/.jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 
 @pytest.fixture(scope="session")
