@@ -100,9 +100,17 @@ def main(preset="c2", *overrides):
     # representative intermediates (shapes as in DMV3D.__call__)
     bott_in = jnp.zeros((bk, m.bottleneck_size, m.bottleneck_size,
                          m.gru_features), dt)
-    pose_code = pose_ops.encode_pose(
-        jnp.repeat(src[:, -1], k, axis=0), tgt.reshape(bk, -1),
-        mode=m.pose_mode)
+    if m.synthesis in ("multiflow", "multidepth"):
+        # multi-source modes condition the bottleneck on EVERY source pose
+        # (dmv3d.py DMV3D.__call__) — the code is [B*K, T*P], not [B*K, P]
+        src_rep = jnp.repeat(src, k, axis=0)
+        tgt_rep = jnp.broadcast_to(tgt.reshape(bk, 1, -1), src_rep.shape)
+        pose_code = pose_ops.encode_pose(
+            src_rep, tgt_rep, mode=m.pose_mode).reshape(bk, -1)
+    else:
+        pose_code = pose_ops.encode_pose(
+            jnp.repeat(src[:, -1], k, axis=0), tgt.reshape(bk, -1),
+            mode=m.pose_mode)
     z = jnp.zeros_like(bott_in)
     # decoder takes per-example skips [B] and broadcasts over K internally
     skip_shapes = module.skip_shapes(b)
@@ -131,8 +139,9 @@ def main(preset="c2", *overrides):
                 .astype(jnp.float32)),
             (params["bottleneck"], bott_in, pose_code)),
         "decoder+heads_BK": (
+            # "mask" exists in every synthesis mode's head dict
             lambda p, x, sk, e: jnp.mean(dec.apply(
-                {"params": p}, x + jnp.asarray(e, dt), sk, k)["flow"]),
+                {"params": p}, x + jnp.asarray(e, dt), sk, k)["mask"]),
             (params["decoder"], z, skips)),
         "warp_BK": (
             lambda img, fl, e: jnp.mean(sampling.flow_warp(
@@ -189,8 +198,10 @@ def main(preset="c2", *overrides):
         results[name] = {
             "ms": round(dt_s * 1e3, 3),
             "gflops": round(fl / 1e9, 2) if np.isfinite(fl) else None,
+            # below ~50 µs the loop-differencing floor dominates — an MFU
+            # quotient against it is meaningless noise
             "mfu_pct": round(100 * fl / dt_s / PEAK_FLOPS, 1)
-            if np.isfinite(fl) else None,
+            if np.isfinite(fl) and dt_s > 5e-5 else None,
         }
         print(json.dumps({name: results[name]}), flush=True)
 

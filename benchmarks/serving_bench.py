@@ -35,10 +35,16 @@ from dynamic_multiview_3d_tpu import serving
 from dynamic_multiview_3d_tpu.api import Model
 
 
-def loop_time(call, args, iters=20, reps=3):
+def loop_time(call, args, lo=10, hi=40, reps=3):
     """Seconds per call. ``call(*args)`` -> array; the loop feeds a scalar
     derived from the output back into the first (float image) argument so
-    XLA cannot collapse the iterations."""
+    XLA cannot collapse the iterations.
+
+    Differences a ``hi``-iteration loop against a ``lo``-iteration one
+    (not against 1): the relay adds ~1 s of constant per-dispatch overhead
+    with occasional jitter of the same order as a handful of model calls,
+    so a 1-vs-N difference can under- or over-shoot wildly (an early run
+    of this bench read a 5.2 ms model at 1.0 ms/call that way)."""
 
     def make(n):
         @jax.jit
@@ -49,18 +55,18 @@ def loop_time(call, args, iters=20, reps=3):
             return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
         return looped
 
-    f1, fn = make(1), make(iters)
-    float(f1(*args))            # compile + warm
-    float(fn(*args))
+    f_lo, f_hi = make(lo), make(hi)
+    float(f_lo(*args))          # compile + warm
+    float(f_hi(*args))
 
     def timed(f):
         t0 = time.perf_counter()
         float(f(*args))
         return time.perf_counter() - t0
 
-    t1 = min(timed(f1) for _ in range(reps))
-    tn = min(timed(fn) for _ in range(reps))
-    return max(tn - t1, 1e-9) / (iters - 1)
+    t_lo = min(timed(f_lo) for _ in range(reps))
+    t_hi = min(timed(f_hi) for _ in range(reps))
+    return max(t_hi - t_lo, 1e-9) / (hi - lo)
 
 
 def main():
