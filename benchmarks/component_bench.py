@@ -139,9 +139,11 @@ def main(preset="c2", *overrides):
                 .astype(jnp.float32)),
             (params["bottleneck"], bott_in, pose_code)),
         "decoder+heads_BK": (
-            # "mask" exists in every synthesis mode's head dict
+            # "mask" exists in every synthesis mode's head dict;
+            # num_sources sizes the multi-source heads (multiflow/-depth)
             lambda p, x, sk, e: jnp.mean(dec.apply(
-                {"params": p}, x + jnp.asarray(e, dt), sk, k)["mask"]),
+                {"params": p}, x + jnp.asarray(e, dt), sk, k,
+                num_sources=t)["mask"]),
             (params["decoder"], z, skips)),
         "warp_BK": (
             lambda img, fl, e: jnp.mean(sampling.flow_warp(

@@ -24,7 +24,18 @@ def main(trace_dir: str, top_n: int = 12) -> None:
         raise SystemExit(f"no xplane.pb under {trace_dir}")
     data, _ = r2t.xspace_to_tool_data(xs, "op_profile", {})
     d = json.loads(data)
-    root = (d.get("byCategory") or d.get("byProgram"))["children"][0]
+    kids = (d.get("byCategory") or d.get("byProgram"))["children"]
+    # an input-bound trace can have IDLE as the top "program" — report the
+    # biggest real program, and say how much idle surrounded it
+    root = next((c for c in kids
+                 if "IDLE" not in c["name"].upper()), kids[0])
+    idle = sum(c["metrics"]["rawTime"] for c in kids
+               if "IDLE" in c["name"].upper())
+    if idle:
+        tot_all = sum(c["metrics"]["rawTime"] for c in kids)
+        print(f"note: {idle / tot_all * 100:.1f}% of the trace window is "
+              "IDLE (input/host-bound) — the table below covers the "
+              "on-device program only")
     tot = root["metrics"]["rawTime"]
     print(f"program: {root['name']}  total rawTime {tot:.3e}  "
           f"flops_util {root['metrics'].get('flops', 0):.3f}")
