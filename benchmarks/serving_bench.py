@@ -35,16 +35,17 @@ from dynamic_multiview_3d_tpu import serving
 from dynamic_multiview_3d_tpu.api import Model
 
 
-def loop_time(call, args, lo=10, hi=40, reps=3):
-    """Seconds per call. ``call(*args)`` -> array; the loop feeds a scalar
-    derived from the output back into the first (float image) argument so
-    XLA cannot collapse the iterations.
+def loop_time(call, args, sizes=(5, 15, 30, 60), reps=3):
+    """Seconds per call, with the raw walls for auditing.
 
-    Differences a ``hi``-iteration loop against a ``lo``-iteration one
-    (not against 1): the relay adds ~1 s of constant per-dispatch overhead
-    with occasional jitter of the same order as a handful of model calls,
-    so a 1-vs-N difference can under- or over-shoot wildly (an early run
-    of this bench read a 5.2 ms model at 1.0 ms/call that way)."""
+    ``call(*args)`` -> array; the loop feeds a scalar derived from the
+    output back into the first (float image) argument so XLA cannot
+    collapse the iterations. The relay adds ~1 s of constant per-dispatch
+    overhead with jitter of the same order as a handful of model calls, so
+    no single pair of loop sizes is trustworthy (early runs of this bench
+    read a 5.2 ms model at 1.0 ms/call off one bad wall). Instead: time a
+    loop at each of ``sizes`` (min over ``reps``) and least-squares-fit
+    wall = overhead + n * sec_per_call; returns (slope, walls_ms)."""
 
     def make(n):
         @jax.jit
@@ -55,18 +56,21 @@ def loop_time(call, args, lo=10, hi=40, reps=3):
             return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
         return looped
 
-    f_lo, f_hi = make(lo), make(hi)
-    float(f_lo(*args))          # compile + warm
-    float(f_hi(*args))
+    fns = [make(n) for n in sizes]
+    for f in fns:                   # compile + warm
+        float(f(*args))
 
     def timed(f):
         t0 = time.perf_counter()
         float(f(*args))
         return time.perf_counter() - t0
 
-    t_lo = min(timed(f_lo) for _ in range(reps))
-    t_hi = min(timed(f_hi) for _ in range(reps))
-    return max(t_hi - t_lo, 1e-9) / (hi - lo)
+    walls = [min(timed(f) for _ in range(reps)) for f in fns]
+    n = np.asarray(sizes, np.float64)
+    w = np.asarray(walls, np.float64)
+    slope = float(((n - n.mean()) * (w - w.mean())).sum()
+                  / ((n - n.mean()) ** 2).sum())
+    return max(slope, 1e-9), [round(x * 1e3, 1) for x in walls]
 
 
 def main():
@@ -109,9 +113,9 @@ def main():
     # throughput: same loop-differencing on both paths
     params_tuple = served._params
     call = served._exported.call
-    sec_served = loop_time(
+    sec_served, walls_served = loop_time(
         lambda q, pt, sp, tp: call(pt, q, sp, tp), (seq, params_tuple, src, tgt))
-    sec_live = loop_time(
+    sec_live, walls_live = loop_time(
         lambda q, pr, sp, tp: live_fn(pr, q, sp, tp), (seq, model.params, src, tgt))
 
     views = b * k
@@ -127,6 +131,10 @@ def main():
         "live_ms_per_call": round(sec_live * 1e3, 3),
         "served_views_per_s": round(views / sec_served, 1),
         "live_views_per_s": round(views / sec_live, 1),
+        # raw loop walls (ms) at sizes (5,15,30,60) — sanity-check that
+        # walls actually scale with n before trusting the slopes above
+        "walls_served_ms": walls_served,
+        "walls_live_ms": walls_live,
     }
     print(json.dumps(result))
 
