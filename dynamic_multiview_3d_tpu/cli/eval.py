@@ -33,6 +33,12 @@ def main(argv=None) -> None:
                         "training bank (scene ids offset past "
                         "data.num_scenes) — the scene-held-out protocol. "
                         "0 keeps the legacy held-out-pose-index protocol.")
+    p.add_argument("--seq-len", type=int, default=0,
+                   help="evaluate with T source frames instead of the "
+                        "trained data.seq_len (variable-T inference — "
+                        "multi_head_mode='shared' checkpoints accept any "
+                        "source count; 'baked' ones fail loudly on a "
+                        "param-shape mismatch)")
     p.add_argument("--data-root", default=None,
                    help="override data.root (eval a frames dataset, e.g. "
                         "one exported with --scene-offset)")
@@ -52,6 +58,8 @@ def main(argv=None) -> None:
             p.error("--data-root applies only to frames-source checkpoints "
                     f"(this one has data.source={dcfg.source!r})")
         dcfg = dataclasses.replace(dcfg, root=args.data_root)
+    if args.seq_len:
+        dcfg = dataclasses.replace(dcfg, seq_len=args.seq_len)
     if args.holdout_scenes:
         if dcfg.source != "synthetic":
             # FrameFolderScenes globs whatever is on disk; offsetting ids
@@ -89,7 +97,8 @@ def main(argv=None) -> None:
               "data_source": dcfg.source,
               "data_root": dcfg.root,
               "scene_offset": dcfg.scene_offset,
-              "num_scenes": dcfg.num_scenes}
+              "num_scenes": dcfg.num_scenes,
+              "seq_len": dcfg.seq_len}
     print(json.dumps(result))
 
 

@@ -58,6 +58,21 @@ class ModelConfig:
                                      #   depth reprojects EVERY source frame;
                                      #   per-source confidence blend — the
                                      #   geometric twin of multiflow)
+    multi_head_mode: str = "shared"  # multiflow/multidepth head layout:
+                                     # "shared": ONE per-source head applied
+                                     # over the source axis (shared weights;
+                                     # pose conditioning pooled over sources
+                                     # in the bottleneck, per-source FiLM at
+                                     # the head) — the checkpoint is
+                                     # T-AGNOSTIC: any source count at
+                                     # inference (BASELINE.json:5's generic
+                                     # predict(image_seq, ...) contract).
+                                     # "baked": rounds 3-4 layout — one conv
+                                     # emitting 3T+4 / T+4 channels with T
+                                     # fixed at init. Checkpoints serialized
+                                     # before this field existed load as
+                                     # "baked" (config.from_dict).
+    src_head_features: int = 32      # width of the shared per-source head
     dtype: str = "bfloat16"          # compute dtype (params stay float32)
     heads_dtype: str = ""            # head-conv compute dtype; "" follows
                                      # model.dtype. bfloat16 (the effective
@@ -244,8 +259,13 @@ def _known(cls, d: dict) -> dict:
 
 
 def from_dict(d: dict) -> Config:
+    model_d = dict(d["model"])
+    # Pre-round-5 checkpoints trained the T-baked multi-source heads; their
+    # config JSON has no multi_head_mode, so the field must NOT resolve to
+    # the new default (the param trees differ).
+    model_d.setdefault("multi_head_mode", "baked")
     return Config(
-        model=ModelConfig(**_known(ModelConfig, d["model"])),
+        model=ModelConfig(**_known(ModelConfig, model_d)),
         data=DataConfig(**_known(DataConfig, d["data"])),
         train=TrainConfig(**_known(TrainConfig, d["train"])),
         mesh=MeshConfig(**_known(MeshConfig, d["mesh"])),
@@ -315,6 +335,19 @@ def config3_multiflow_orbit() -> Config:
     )
 
 
+def config3_multidepth_orbit() -> Config:
+    """Best-quality recipe (round 4: 22.19 dB / 0.821 SSIM scene-holdout,
+    BASELINE.md): the c3mf flagship shapes with multidepth synthesis — ONE
+    predicted target-view depth map reprojects EVERY orbit source through
+    its relative camera transform, per-source confidence blend in the same
+    fused Pallas kernel. Multiflow-tier quality plus a usable depth map."""
+    import dataclasses
+    base = config3_multiflow_orbit()
+    return dataclasses.replace(
+        base, name="c3md_multidepth_orbit",
+        model=dataclasses.replace(base.model, synthesis="multidepth"))
+
+
 def config4_train_dp8() -> Config:
     """BASELINE.json:10 — full train step (L1+mask, fwd+bwd+Adam), 128², v5e-8 DP."""
     return Config(
@@ -341,6 +374,7 @@ PRESETS = {
     "c2": config2_static_multiview_128,
     "c3": config3_dynamic_scan,
     "c3mf": config3_multiflow_orbit,
+    "c3md": config3_multidepth_orbit,
     "c4": config4_train_dp8,
     "c5": config5_multihost_256,
     "default": Config,

@@ -78,6 +78,12 @@ class PoseBottleneck(nn.Module):
 
     MLP-embed the pose, tile it over the bottleneck's spatial extent, concat,
     and mix with 1x1 + 3x3 convs.
+
+    A 3-D ``pose_code`` [N, T, P] (multi-source, multi_head_mode="shared")
+    embeds every per-source code through the SAME MLP and mean-pools over
+    the source axis — a permutation-invariant set encoding whose parameter
+    shapes are independent of T (T-agnostic checkpoints; the per-source
+    discrimination happens at the decoder's shared per-source head instead).
     """
 
     cfg: ModelConfig
@@ -90,6 +96,8 @@ class PoseBottleneck(nn.Module):
             pose_code.astype(dt))
         emb = nn.relu(emb)
         emb = nn.Dense(cfg.pose_embed_dim, dtype=dt, name="pose_fc2")(emb)
+        if emb.ndim == 3:                       # [N, T, E] -> pooled [N, E]
+            emb = jnp.mean(emb, axis=1)
         n, h, w, _ = bottleneck.shape
         tiled = jnp.broadcast_to(emb[:, None, None, :],
                                  (n, h, w, cfg.pose_embed_dim))
@@ -131,7 +139,8 @@ class Decoder(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, skips: Sequence[jnp.ndarray],
-                 k: int = 1, num_sources: int = 1):
+                 k: int = 1, num_sources: int = 1,
+                 src_codes: jnp.ndarray | None = None):
         cfg = self.cfg
         dt = _dtype(cfg)
         x = x.astype(dt)
@@ -194,6 +203,9 @@ class Decoder(nn.Module):
         # (~0.4% relative) differs from the float32 setting.
         dth = jnp.dtype(cfg.heads_compute_dtype)
         xf = x.astype(dth)
+        if src_codes is not None and cfg.synthesis in ("multiflow",
+                                                       "multidepth"):
+            return self._shared_multi_heads(xf, src_codes, num_sources, dth)
         if cfg.synthesis == "multiflow":
             # Per-source heads (SURVEY.md R9 extended to true multiview):
             # one conv emits S flow fields + S confidence logits alongside
@@ -237,6 +249,56 @@ class Decoder(nn.Module):
         rgb = jnp.tanh(h3[..., 3:6])
         out = {"flow": flow, "mask": mask, "rgb": rgb}
         if cfg.predict_depth:
+            raw = nn.Conv(1, (3, 3), padding="SAME", dtype=dth,
+                          name="depth_head")(xf).astype(jnp.float32)
+            out["depth"] = nn.softplus(raw)[..., 0] + 0.1
+        return out
+
+    def _shared_multi_heads(self, xf: jnp.ndarray, src_codes: jnp.ndarray,
+                            num_sources: int, dth) -> dict:
+        """T-agnostic multi-source heads (multi_head_mode="shared").
+
+        One per-source head applied over the source axis with SHARED
+        weights: a spatial trunk conv runs once per target, each source's
+        pose code enters as a FiLM-style additive bias, and two 1x1 convs
+        (T folded into the batch axis) emit that source's outputs. Param
+        shapes carry no T — one checkpoint serves ANY source count, which
+        the baked 3T+4 / T+4 conv cannot (VERDICT r4 missing #4 /
+        BASELINE.json:5's generic predict contract).
+
+        TPU cost note: the per-source tensors are [N*T, H, W, F] with
+        F = cfg.src_head_features (32): at the c3mf shape that is ~134 MB
+        of HBM per 1x1 conv pass — ~0.2 ms at the 819 GB/s roofline — vs
+        the baked head's single conv; measured on chip in BASELINE.md.
+        """
+        cfg = self.cfg
+        s = num_sources
+        # shared (source-independent) heads: compositing mask + hallucinated
+        # rgb — same outputs as the baked layout's trailing 4 channels.
+        base = nn.Conv(4, (3, 3), padding="SAME", dtype=dth,
+                       name="heads_base")(xf).astype(jnp.float32)
+        out = {"mask": nn.sigmoid(base[..., 0:1]),
+               "rgb": jnp.tanh(base[..., 1:4])}
+        f = cfg.src_head_features
+        hf = nn.Conv(f, (3, 3), padding="SAME", dtype=dth,
+                     name="srchead_trunk")(xf)               # [N, H, W, F]
+        emb = nn.Dense(f, dtype=dth,
+                       name="srchead_emb")(src_codes.astype(dth))
+        emb = nn.Dense(f, dtype=dth, name="srchead_pose")(nn.relu(emb))
+        n, hh, ww = hf.shape[:3]
+        u = nn.relu(hf[:, None] + emb[:, :, None, None, :])  # [N, S, H, W, F]
+        u = u.reshape(n * s, hh, ww, f)
+        u = nn.relu(nn.Conv(f, (1, 1), dtype=dth, name="srchead_mix")(u))
+        out_ch = 3 if cfg.synthesis == "multiflow" else 1
+        y = nn.Conv(out_ch, (1, 1), dtype=dth,
+                    name="srchead_out")(u).astype(jnp.float32)
+        y = y.reshape(n, s, hh, ww, out_ch)
+        if cfg.synthesis == "multiflow":
+            out["flow"] = (jnp.tanh(y[..., :2]).transpose(0, 2, 3, 1, 4)
+                           * (cfg.max_flow * cfg.image_size))  # [N,H,W,S,2]
+            out["conf"] = y[..., 2].transpose(0, 2, 3, 1)      # [N,H,W,S]
+        else:
+            out["conf"] = y[..., 0].transpose(0, 2, 3, 1)
             raw = nn.Conv(1, (3, 3), padding="SAME", dtype=dth,
                           name="depth_head")(xf).astype(jnp.float32)
             out["depth"] = nn.softplus(raw)[..., 0] + 0.1
@@ -311,13 +373,23 @@ class DMV3D(nn.Module):
         # source, so it needs to know where each one sits relative to the
         # target); the single-warp paths keep the last-source code.
         src_last = src_poses[:, -1]                                # [B, 3]
+        src_codes = None
         if cfg.synthesis in ("multiflow", "multidepth"):
             src_rep = jnp.repeat(src_poses, k, axis=0)             # [B*K,T,3]
             tgt_rep = jnp.broadcast_to(
                 tgt_poses.reshape(b * k, 1, -1), src_rep.shape)
-            pose_code = pose_ops.encode_pose(
-                src_rep, tgt_rep, mode=cfg.pose_mode
-            ).reshape(b * k, -1)                                   # [B*K,T*P]
+            codes = pose_ops.encode_pose(
+                src_rep, tgt_rep, mode=cfg.pose_mode)              # [B*K,T,P]
+            if cfg.multi_head_mode == "shared":
+                # T-agnostic layout: the bottleneck pools the per-source
+                # codes; the decoder's shared per-source head gets them raw.
+                pose_code = codes
+                src_codes = codes
+            elif cfg.multi_head_mode == "baked":
+                pose_code = codes.reshape(b * k, -1)               # [B*K,T*P]
+            else:
+                raise ValueError(
+                    f"unknown multi_head_mode: {cfg.multi_head_mode!r}")
         else:
             pose_code = pose_ops.encode_pose(
                 jnp.repeat(src_last, k, axis=0),
@@ -333,7 +405,8 @@ class DMV3D(nn.Module):
         # its skip-branch convs over the K targets internally.
         state_k = tile_k(state)
         z = PoseBottleneck(cfg, name="bottleneck")(state_k, pose_code)
-        heads = Decoder(cfg, name="decoder")(z, skips, k, num_sources=t)
+        heads = Decoder(cfg, name="decoder")(z, skips, k, num_sources=t,
+                                             src_codes=src_codes)
 
         impl = "pallas" if (cfg.use_pallas
                             and jax.default_backend() == "tpu") else "jnp"

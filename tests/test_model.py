@@ -459,3 +459,81 @@ def test_decoder_variant_forward_and_grad(rng, up_order, skip_fusion):
     # concat mode folds the skip conv into fuse{i}_x (no fuse{i}_skip param)
     dec = variables["params"]["decoder"]
     assert ("fuse0_skip" in dec) == (skip_fusion == "split")
+
+
+@pytest.mark.parametrize("synthesis", ["multiflow", "multidepth"])
+def test_shared_heads_variable_t(rng, synthesis):
+    """multi_head_mode='shared' (round 5, VERDICT r4 missing #4): the
+    per-source head carries no T in its param shapes, so ONE checkpoint
+    serves any source count — init at T=4, apply at T=2 and T=6."""
+    cfg = _cfg(synthesis=synthesis)
+    assert cfg.multi_head_mode == "shared"   # the round-5 default
+    model = DMV3D(cfg)
+    seq4, src4, tgt = _inputs(rng, b=2, t=4, k=2, size=64)
+    variables = jax.jit(model.init)(jax.random.key(0), seq4, src4, tgt)
+    # no param shape depends on T
+    flat = jax.tree_util.tree_leaves_with_path(variables["params"])
+    for path, leaf in flat:
+        assert 4 not in leaf.shape or "srchead" not in str(path), path
+    for t in (2, 6):
+        seq, src, _ = _inputs(rng, b=2, t=t, k=2, size=64)
+        out = model.apply(variables, seq, src, tgt)
+        assert out["view"].shape == (2, 2, 64, 64, 3)
+        assert out["conf_weights"].shape[-1] == t
+        w = np.asarray(out["conf_weights"])
+        np.testing.assert_allclose(w.sum(-1), 1.0, atol=1e-5)
+        assert np.all(np.isfinite(np.asarray(out["view"])))
+
+
+@pytest.mark.parametrize("synthesis", ["multiflow", "multidepth"])
+def test_baked_heads_compat_mode(rng, synthesis):
+    """multi_head_mode='baked' reproduces the rounds-3/4 layout (one conv
+    with T baked into its channel count) — pre-round-5 checkpoints keep
+    loading — and applying it at a different T fails loudly instead of
+    silently mis-slicing."""
+    cfg = _cfg(synthesis=synthesis, multi_head_mode="baked")
+    model = DMV3D(cfg)
+    seq, src, tgt = _inputs(rng, b=2, t=3, k=2, size=64)
+    variables = jax.jit(model.init)(jax.random.key(0), seq, src, tgt)
+    dec = variables["params"]["decoder"]
+    assert "heads_multi" in dec          # the T-baked conv
+    assert "srchead_out" not in dec
+    out = model.apply(variables, seq, src, tgt)
+    assert out["view"].shape == (2, 2, 64, 64, 3)
+    seq2, src2, _ = _inputs(rng, b=2, t=5, k=2, size=64)
+    with pytest.raises(Exception):       # flax param-shape mismatch
+        model.apply(variables, seq2, src2, tgt)
+
+
+def test_shared_heads_grad_finite(rng):
+    """Gradients flow through the shared per-source head (FiLM add + 1x1
+    convs) for every input, multiflow and multidepth."""
+    for synthesis in ("multiflow", "multidepth"):
+        cfg = _cfg(synthesis=synthesis)
+        model = DMV3D(cfg)
+        seq, src, tgt = _inputs(rng, b=1, t=3, k=1, size=64)
+        variables = jax.jit(model.init)(jax.random.key(0), seq, src, tgt)
+
+        def loss(v):
+            return jnp.mean(model.apply(v, seq, src, tgt)["view"] ** 2)
+
+        g = jax.jit(jax.grad(loss))(variables)
+        leaves = jax.tree_util.tree_leaves(g)
+        assert all(bool(jnp.all(jnp.isfinite(x))) for x in leaves)
+        # the per-source head params actually receive gradient
+        gd = g["params"]["decoder"]
+        assert float(jnp.abs(gd["srchead_out"]["kernel"]).max()) > 0
+        assert float(jnp.abs(gd["srchead_pose"]["kernel"]).max()) > 0
+
+
+def test_shared_heads_source_order_matters(rng):
+    """The per-source FiLM conditioning discriminates sources: permuting
+    which pose goes with which frame changes the output (the pooled
+    bottleneck alone would be permutation-blind)."""
+    cfg = _cfg(synthesis="multidepth")
+    model = DMV3D(cfg)
+    seq, src, tgt = _inputs(rng, b=1, t=4, k=1, size=64)
+    variables = jax.jit(model.init)(jax.random.key(0), seq, src, tgt)
+    out = model.apply(variables, seq, src, tgt)
+    out_p = model.apply(variables, seq, src[:, ::-1], tgt)
+    assert float(jnp.abs(out["view"] - out_p["view"]).max()) > 1e-6

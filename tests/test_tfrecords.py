@@ -25,7 +25,13 @@ def test_framing_is_tf_io_compatible(tfr_root):
     import glob
     import os
     shard = sorted(glob.glob(tfr_root + "/*.tfrecord"))[0]
-    ours = [r.numpy() for r in tf.data.TFRecordDataset(shard)]
+    if tf.executing_eagerly():
+        ours = [r.numpy() for r in tf.data.TFRecordDataset(shard)]
+    else:
+        # test_checkpoint's TF1 Saver test disables eager for the whole
+        # process (tf1.disable_eager_execution is one-way); the v1 record
+        # iterator reads the same framing in either mode.
+        ours = list(tf.compat.v1.io.tf_record_iterator(shard))
     spans = list(tfr_lib.iter_record_spans(shard))
     assert len(ours) == len(spans) > 0
     with open(shard, "rb") as f:
