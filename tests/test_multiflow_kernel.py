@@ -92,3 +92,76 @@ def test_planner_rejects_oversized_shapes():
                                              "fast")
     # non-128-multiple pixel counts above the single-block cap fall back
     assert not multiflow_pallas.kernel_supported(2, 3, 3000, 64, 64, "fast")
+
+
+# --- on-chip regression tier (VERDICT r4 missing #2): the kernel the
+# flagship trains on must verify compiled on real hardware, not only in
+# interpret mode — a Mosaic/jax upgrade could silently break it.
+
+@pytest.mark.tpu
+@pytest.mark.parametrize("precision,ftol,gtol", [
+    ("exact", 5e-6, 1e-4), ("fast", 3e-2, 5e-2)])
+def test_compiled_on_tpu_matches_jnp(rng, precision, ftol, gtol):
+    """Forward + all six gradients, compiled (interpret=False) on the chip,
+    at a 64²-image shape."""
+    args = _case(rng, n=1, t=3, h=64, w=64, k=1)
+    got = multiflow_pallas.multiflow_composite_pix(
+        *args, "border", False, precision)
+    want = _ref(*args)
+    for g, w_, name in zip(got, want, ("view", "multi", "any_valid", "wts")):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w_),
+                                   rtol=ftol, atol=ftol, err_msg=name)
+
+    p = args[1].shape[-1]
+    cv = jnp.asarray(rng.standard_normal((1, 3, p)).astype(np.float32))
+
+    def loss(fn):
+        def f(*a):
+            view, multi, _, wts = fn(*a)
+            return (jnp.sum(view * cv) + jnp.sum(multi ** 2)
+                    + jnp.sum(wts ** 2))
+        return f
+
+    g_tpu = jax.jit(jax.grad(loss(
+        lambda *a: multiflow_pallas.multiflow_composite_pix(
+            *a, "border", False, precision)),
+        argnums=tuple(range(6))))(*args)
+    g_ref = jax.grad(loss(_ref), argnums=tuple(range(6)))(*args)
+    for gp, gr, name in zip(g_tpu, g_ref,
+                            ("imgs", "ix", "iy", "conf", "mask", "rgb")):
+        np.testing.assert_allclose(
+            np.asarray(gp), np.asarray(gr), rtol=gtol,
+            atol=gtol * max(1.0, float(np.abs(np.asarray(gr)).max())),
+            err_msg=name)
+
+
+@pytest.mark.tpu
+@pytest.mark.slow
+def test_flagship_shape_compiled_on_tpu(rng):
+    """The exact c3mf/c3md flagship kernel shape (T=8, 128², K=2 targets,
+    batch rides the grid) — fwd + bwd on hardware, fast precision, against
+    the jnp reference (BASELINE.md chip-parity bounds)."""
+    args = _case(rng, n=2, t=8, c=3, h=128, w=128, k=2)
+    got = multiflow_pallas.multiflow_composite_pix(
+        *args, "border", False, "fast")
+    want = _ref(*args)
+    for g, w_, name in zip(got, want, ("view", "multi", "any_valid", "wts")):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w_),
+                                   rtol=3e-2, atol=3e-2, err_msg=name)
+
+    def f(imgs, conf):
+        view, _, _, _ = multiflow_pallas.multiflow_composite_pix(
+            imgs, *args[1:3], conf, *args[4:], "border", False, "fast")
+        return jnp.sum(view ** 2)
+
+    def fr(imgs, conf):
+        view = _ref(imgs, *args[1:3], conf, *args[4:])[0]
+        return jnp.sum(view ** 2)
+
+    gi, gc = jax.jit(jax.grad(f, argnums=(0, 1)))(args[0], args[3])
+    ri, rc = jax.grad(fr, argnums=(0, 1))(args[0], args[3])
+    for a, b, name in ((gi, ri, "imgs"), (gc, rc, "conf")):
+        a, b = np.asarray(a), np.asarray(b)
+        np.testing.assert_allclose(a, b, rtol=5e-2,
+                                   atol=5e-2 * max(1.0, np.abs(b).max()),
+                                   err_msg=name)
