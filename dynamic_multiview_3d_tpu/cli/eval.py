@@ -51,6 +51,9 @@ def main(argv=None) -> None:
     args = p.parse_args(argv)
 
     model = Model.from_checkpoint(args.ckpt)
+    import os
+    with open(os.path.join(args.ckpt, "config.json")) as f:
+        ckpt_step = json.load(f)["step"]
     import dataclasses
     dcfg = model.cfg.data
     if args.data_root:
@@ -98,7 +101,11 @@ def main(argv=None) -> None:
               "data_root": dcfg.root,
               "scene_offset": dcfg.scene_offset,
               "num_scenes": dcfg.num_scenes,
-              "seq_len": dcfg.seq_len}
+              "seq_len": dcfg.seq_len,
+              # which weights produced these numbers (results/ artifacts
+              # must be traceable to a training run + step, ADVICE r4)
+              "ckpt": os.path.abspath(args.ckpt),
+              "ckpt_step": ckpt_step}
     print(json.dumps(result))
 
 

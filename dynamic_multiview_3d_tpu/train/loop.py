@@ -117,6 +117,17 @@ def train(cfg: config_lib.Config, *, writer: metrics_lib.MetricsWriter | None
     state = step_lib.init_state(cfg)
     mgr = ckpt_lib.make_manager(cfg.train.ckpt_dir, cfg.train.max_to_keep,
                                 cfg.train.ckpt_every)
+    if jax.process_index() == 0:
+        # Persist the resolved config next to the manager steps so an
+        # intermediate checkpoint is recoverable into an eval-ready model
+        # dir (cli.snapshot) even if the run never reaches num_steps —
+        # previously only the end-of-run model/ export carried the config.
+        import json
+        import os
+        os.makedirs(os.path.abspath(cfg.train.ckpt_dir), exist_ok=True)
+        with open(os.path.join(os.path.abspath(cfg.train.ckpt_dir),
+                               "train_config.json"), "w") as f:
+            json.dump(config_lib.to_dict(cfg), f, indent=2)
     restored = restore_latest(mgr, state)
     start_step = 0
     if restored is not None:

@@ -401,3 +401,31 @@ def test_c3mf_preset_out_of_the_box(tmp_path):
         state, metrics = loop_lib.train(cfg)
     assert int(np.asarray(state.step)) == 16
     assert np.isfinite(metrics["loss/total"])
+
+
+def test_snapshot_cli_exports_intermediate_step(tmp_path):
+    """A run cut short of num_steps must still be exportable: cli.snapshot
+    restores an Orbax manager step + the persisted train_config.json into a
+    Model.from_checkpoint dir (SURVEY.md §5 failure recovery — evaluate the
+    survivor, not just resume it)."""
+    import json
+
+    from dynamic_multiview_3d_tpu.api import Model
+    from dynamic_multiview_3d_tpu.cli import snapshot as snapshot_cli
+
+    cfg = tiny_cfg(tmp_path, overrides=[
+        "train.num_steps=4", f"train.ckpt_dir={tmp_path}/ckpt",
+        "train.fail_after_step=1"])          # dies after step 2's ckpt
+    with pytest.raises(loop_lib.FaultInjected):
+        loop_lib.train(cfg)
+    assert not (tmp_path / "ckpt" / "model").exists()   # no end-of-run export
+
+    out = tmp_path / "snap"
+    snapshot_cli.main(["--ckpt-dir", str(tmp_path / "ckpt"),
+                       "--out", str(out)])
+    with open(out / "config.json") as f:
+        assert json.load(f)["step"] == 2
+    model = Model.from_checkpoint(str(out))
+    views = model.predict(
+        np.zeros((1, 32, 32, 3), np.float32), np.zeros((1, 3), np.float32))
+    assert views.shape == (1, 32, 32, 3)
