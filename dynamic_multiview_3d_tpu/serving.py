@@ -11,6 +11,9 @@ with the weights and config as ONE zip:
       │                          forward-compatible; includes the Mosaic
       │                          payloads of the Pallas kernels when
       │                          lowered for TPU)
+      ├── predict_T{t}.stablehlo one extra signature per additional source
+      │                          count when exported with seq_len=(...) —
+      │                          the loader dispatches on image_seq.shape[1]
       ├── params.npz             flat {path: float32 ndarray}
       ├── config.json            full Config (audit/repro)
       └── manifest.json          shapes, dtypes, platforms, api version
@@ -66,16 +69,35 @@ def _unflatten(flat: dict):
     return tree
 
 
-def export_predict(model, path: str, batch: int = 1, seq_len: int | None = None,
+def export_predict(model, path: str, batch: int = 1,
+                   seq_len: int | tuple[int, ...] | None = None,
                    num_targets: int = 1, platforms: tuple[str, ...] = ()):
     """AOT-export ``model``'s forward at fixed shapes into ``path``.
 
     platforms: lowering targets, e.g. ("tpu",) or ("cpu", "tpu") — defaults
     to the current backend. Cross-platform export does NOT need the target
     hardware present (lowering only; the server compiles at load).
+
+    seq_len may be a TUPLE of source counts: the artifact then carries one
+    StableHLO module per T and ``ServedModel.predict`` dispatches on
+    ``image_seq.shape[1]``. jax.export is fixed-shape by design, so
+    "variable T" at serving time is a signature set, not a dynamic dim —
+    this is how a ``multi_head_mode="shared"`` checkpoint (T-agnostic
+    weights, BASELINE.md round 5) serves several source counts from one
+    frozen artifact. Per-T-baked checkpoints fail loudly at trace time for
+    any T other than the trained one. The first entry is the primary
+    signature (kept at the legacy zip/manifest location, so older loaders
+    still serve it and ignore the extras — no manifest version bump).
     """
     cfg = model.cfg
-    t = seq_len if seq_len is not None else cfg.data.seq_len
+    if seq_len is None:
+        ts: tuple[int, ...] = (cfg.data.seq_len,)
+    elif isinstance(seq_len, int):
+        ts = (seq_len,)
+    else:
+        ts = tuple(seq_len)
+        if len(set(ts)) != len(ts):
+            raise ValueError(f"duplicate seq_len entries: {ts}")
     s = cfg.model.image_size
     flat = _flatten(model.params)
     names = sorted(flat)
@@ -85,25 +107,40 @@ def export_predict(model, path: str, batch: int = 1, seq_len: int | None = None,
         return model.module.apply({"params": params}, image_seq, src_poses,
                                   tgt_poses)["view"]
 
-    args = (
-        tuple(jax.ShapeDtypeStruct(flat[n].shape, flat[n].dtype)
-              for n in names),
-        jax.ShapeDtypeStruct((batch, t, s, s, 3), np.float32),
-        jax.ShapeDtypeStruct((batch, t, 3), np.float32),
-        jax.ShapeDtypeStruct((batch, num_targets, 3), np.float32),
-    )
     kw = {"platforms": list(platforms)} if platforms else {}
-    exported = jax_export.export(jax.jit(fn), **kw)(*args)
-    blob = exported.serialize()
+    param_args = tuple(jax.ShapeDtypeStruct(flat[n].shape, flat[n].dtype)
+                       for n in names)
+    blobs, signatures, exported_platforms = {}, {}, None
+    for t in ts:
+        args = (
+            param_args,
+            jax.ShapeDtypeStruct((batch, t, s, s, 3), np.float32),
+            jax.ShapeDtypeStruct((batch, t, 3), np.float32),
+            jax.ShapeDtypeStruct((batch, num_targets, 3), np.float32),
+        )
+        exported = jax_export.export(jax.jit(fn), **kw)(*args)
+        exported_platforms = list(exported.platforms)
+        entry = ("predict.stablehlo" if t == ts[0]
+                 else f"predict_T{t}.stablehlo")
+        blobs[entry] = exported.serialize()
+        signatures[str(t)] = {
+            "module": entry,
+            "image_seq": [batch, t, s, s, 3],
+            "src_poses": [batch, t, 3],
+        }
 
     from dynamic_multiview_3d_tpu.api import DEFAULT_POSE
+    t0 = ts[0]
     manifest = {
         "version": MANIFEST_VERSION,
-        "platforms": list(exported.platforms),
-        "image_seq": [batch, t, s, s, 3],
-        "src_poses": [batch, t, 3],
+        "platforms": exported_platforms,
+        # legacy top-level keys describe the PRIMARY signature (ts[0]);
+        # loaders that predate "signatures" serve exactly that one
+        "image_seq": [batch, t0, s, s, 3],
+        "src_poses": [batch, t0, 3],
         "tgt_poses": [batch, num_targets, 3],
         "view": [batch, num_targets, s, s, 3],
+        "signatures": signatures,
         "param_names": names,
         # default source pose rides IN the artifact so the loader never
         # imports this package's model code ("jax + numpy only")
@@ -118,7 +155,8 @@ def export_predict(model, path: str, batch: int = 1, seq_len: int | None = None,
     npz = io.BytesIO()
     np.savez(npz, **flat)
     with zipfile.ZipFile(path, "w", zipfile.ZIP_STORED) as z:
-        z.writestr("predict.stablehlo", blob)
+        for entry, blob in blobs.items():
+            z.writestr(entry, blob)
         z.writestr("params.npz", npz.getvalue())
         z.writestr("config.json", json.dumps(config_lib_to_dict(cfg)))
         z.writestr("manifest.json", json.dumps(manifest))
@@ -133,27 +171,39 @@ def config_lib_to_dict(cfg):
 class ServedModel:
     """Loaded artifact: fixed-shape predict, no model code involved."""
 
-    def __init__(self, exported, flat_params, manifest, cfg_dict):
-        self._exported = exported
+    def __init__(self, exported_by_t, flat_params, manifest, cfg_dict):
         self._names = manifest["param_names"]
         self._params = tuple(flat_params[n] for n in self._names)
         self.manifest = manifest
         self.cfg_dict = cfg_dict
-        self._call = jax.jit(exported.call)
+        # one jitted entry point per exported source count T; single-T
+        # (and pre-"signatures") artifacts have exactly one
+        self._calls = {t: jax.jit(e.call) for t, e in exported_by_t.items()}
+
+    @property
+    def seq_lens(self) -> tuple[int, ...]:
+        """Source counts this artifact serves, primary first."""
+        return tuple(self._calls)
 
     @classmethod
     def load(cls, path: str) -> "ServedModel":
         with zipfile.ZipFile(path) as z:
-            exported = jax_export.deserialize(z.read("predict.stablehlo"))
-            with np.load(io.BytesIO(z.read("params.npz"))) as npz:
-                flat = {k: npz[k] for k in npz.files}
             manifest = json.loads(z.read("manifest.json"))
             cfg_dict = json.loads(z.read("config.json"))
+            # pre-"signatures" artifacts carry one module at the legacy
+            # entry; its T is src_poses' middle dim
+            sigs = manifest.get("signatures") or {
+                str(manifest["src_poses"][1]): {"module": "predict.stablehlo"}}
+            exported_by_t = {
+                int(t): jax_export.deserialize(z.read(sig["module"]))
+                for t, sig in sigs.items()}
+            with np.load(io.BytesIO(z.read("params.npz"))) as npz:
+                flat = {k: npz[k] for k in npz.files}
         if manifest["version"] > MANIFEST_VERSION:
             raise ValueError(
                 f"artifact version {manifest['version']} is newer than this "
                 f"loader ({MANIFEST_VERSION})")
-        return cls(exported, flat, manifest, cfg_dict)
+        return cls(exported_by_t, flat, manifest, cfg_dict)
 
     def predict(self, image_seq, target_poses, source_poses=None,
                 mesh=None):
@@ -164,6 +214,20 @@ class ServedModel:
         m = self.manifest
         image_seq = np.asarray(image_seq, np.float32)
         target_poses = np.asarray(target_poses, np.float32)
+        # dispatch on the source count: multi-signature artifacts carry one
+        # fixed-shape module per exported T (see export_predict docstring)
+        t_in = image_seq.shape[1] if image_seq.ndim >= 2 else None
+        call = self._calls.get(t_in)
+        if call is None:
+            raise ValueError(
+                f"image_seq has {t_in} source frames but this artifact was "
+                f"exported for T in {sorted(self._calls)} (serving "
+                "artifacts are fixed-shape; re-export with "
+                "seq_len=(...) for other source counts)")
+        exp_image_seq = list(m["image_seq"]); exp_image_seq[1] = t_in
+        exp_src_poses = list(m["src_poses"]); exp_src_poses[1] = t_in
+        expected = {"image_seq": exp_image_seq, "src_poses": exp_src_poses,
+                    "tgt_poses": m["tgt_poses"]}
         if source_poses is None:
             # Multi-source artifacts blend every source frame by its own
             # camera — a broadcast canonical pose is out-of-distribution
@@ -185,19 +249,19 @@ class ServedModel:
             # model-code-free)
             pose = m.get("default_pose", (0.0, 0.3, 2.0))
             source_poses = np.broadcast_to(
-                np.asarray(pose, np.float32), tuple(m["src_poses"]))
+                np.asarray(pose, np.float32), tuple(exp_src_poses))
         source_poses = np.asarray(source_poses, np.float32)
         for name, arr in (("image_seq", image_seq),
                           ("src_poses", source_poses),
                           ("tgt_poses", target_poses)):
-            if list(arr.shape) != m[name]:
+            if list(arr.shape) != expected[name]:
                 raise ValueError(
-                    f"{name} shape {list(arr.shape)} != exported {m[name]} "
-                    "(serving artifacts are fixed-shape; re-export for "
-                    "other shapes)")
+                    f"{name} shape {list(arr.shape)} != exported "
+                    f"{expected[name]} (serving artifacts are fixed-shape; "
+                    "re-export for other shapes)")
         if mesh is None:
-            return self._call(self._params, image_seq, source_poses,
-                              target_poses)
+            return call(self._params, image_seq, source_poses,
+                        target_poses)
         import jax
         from jax.sharding import NamedSharding, PartitionSpec as P
         batched = NamedSharding(mesh, P("data"))
@@ -205,4 +269,4 @@ class ServedModel:
         params = tuple(jax.device_put(p, repl) for p in self._params)
         args = tuple(jax.device_put(a, batched)
                      for a in (image_seq, source_poses, target_poses))
-        return self._call(params, *args)
+        return call(params, *args)

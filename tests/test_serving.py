@@ -123,6 +123,60 @@ def test_default_pose_rides_in_the_manifest(artifact, rng):
     np.testing.assert_allclose(got, want, atol=1e-6)
 
 
+def test_multi_seq_len_artifact_dispatches_on_source_count(tmp_path, rng):
+    """seq_len=(2, 4) exports one StableHLO signature per T into ONE
+    artifact; the loader dispatches on image_seq.shape[1] and each branch
+    matches the live model — the serving half of the variable-T predict
+    contract (shared heads, BASELINE.md round 5). An unexported T is loud,
+    and a pre-"signatures" manifest still loads single-T (back-compat)."""
+    import dataclasses
+    import json
+    import shutil
+    import zipfile
+    cfg = _tiny_cfg()
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, synthesis="multidepth"),
+        data=dataclasses.replace(cfg.data, seq_len=4, src_views="orbit"))
+    model = Model.init_random(cfg, seed=0)   # multi_head_mode="shared"
+    path = str(tmp_path / "multi_t.dmv3d")
+    manifest = serving.export_predict(model, path, batch=2, seq_len=(2, 4),
+                                      num_targets=2)
+    assert sorted(manifest["signatures"]) == ["2", "4"]
+    served = serving.ServedModel.load(path)
+    assert served.seq_lens == (2, 4)
+    tgt = (rng.uniform(0, 1, (2, 2, 3)) + [0, 0, 1]).astype(np.float32)
+    for t in (2, 4):
+        seq = rng.uniform(-1, 1, (2, t, 32, 32, 3)).astype(np.float32)
+        src = (rng.uniform(0, 1, (2, t, 3)) + [0, 0, 1]).astype(np.float32)
+        got = np.asarray(served.predict(seq, tgt, source_poses=src))
+        want = np.asarray(model.predict(seq, tgt, source_poses=src))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    seq3 = rng.uniform(-1, 1, (2, 3, 32, 32, 3)).astype(np.float32)
+    with pytest.raises(ValueError, match="T in \\[2, 4\\]"):
+        served.predict(seq3, tgt)
+    # back-compat: strip "signatures" (an old-style manifest) — the legacy
+    # entry still serves the primary T
+    path2 = tmp_path / "legacy.dmv3d"
+    shutil.copy(path, path2)
+    with zipfile.ZipFile(path) as z:
+        blob, npz = z.read("predict.stablehlo"), z.read("params.npz")
+        cfg_blob = z.read("config.json")
+        man = json.loads(z.read("manifest.json"))
+    del man["signatures"]
+    with zipfile.ZipFile(path2, "w") as z:
+        z.writestr("predict.stablehlo", blob)
+        z.writestr("params.npz", npz)
+        z.writestr("config.json", cfg_blob)
+        z.writestr("manifest.json", json.dumps(man))
+    legacy = serving.ServedModel.load(str(path2))
+    assert legacy.seq_lens == (2,)
+    seq = rng.uniform(-1, 1, (2, 2, 32, 32, 3)).astype(np.float32)
+    src = (rng.uniform(0, 1, (2, 2, 3)) + [0, 0, 1]).astype(np.float32)
+    got = np.asarray(legacy.predict(seq, tgt, source_poses=src))
+    want = np.asarray(model.predict(seq, tgt, source_poses=src))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
 def test_multisource_artifact_requires_source_poses(tmp_path, rng):
     """Artifacts exported from multiflow/multidepth checkpoints record
     their synthesis in the manifest and refuse the default-pose fallback
