@@ -46,6 +46,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from dynamic_multiview_3d_tpu.kernels import grid_sample_pallas as gsp
+from dynamic_multiview_3d_tpu.ops import reproject as reproject_ops
 
 _EPS = 1e-6
 _FAR = -1e6   # coordinate guaranteed to sample as 0 under zeros padding
@@ -100,7 +101,9 @@ def _fused_composite_kernel(params_ref, depth_ref, img_ref, mask_ref,
 
 def _host_params(intrinsics, t_tgt2src):
     """[N, 12]: M = K R K^-1 (row-major 9) then m = K t (3)."""
-    k_inv = jnp.linalg.inv(intrinsics)
+    # closed-form inverse: keeps exported modules LAPACK-custom-call-free
+    # (see ops/reproject.inv3x3 for the serving segfault this avoids)
+    k_inv = reproject_ops.inv3x3(intrinsics)
     rot = t_tgt2src[:, :3, :3]
     trans = t_tgt2src[:, :3, 3]
     m = jnp.einsum("nij,njk,nkl->nil", intrinsics, rot, k_inv,

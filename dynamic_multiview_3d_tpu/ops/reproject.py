@@ -22,6 +22,33 @@ from dynamic_multiview_3d_tpu.ops import sampling as gs
 _einsum = functools.partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
 
 
+def inv3x3(m: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form (adjugate) inverse of batched 3x3 matrices.
+
+    Deliberately NOT ``jnp.linalg.inv``: on CPU that lowers to LAPACK FFI
+    custom calls (``lapack_sgetrf_ffi``/``lapack_strsm_ffi``) whose
+    handlers jaxlib registers only when a linalg op is traced live in the
+    process — a ``jax.export`` artifact carrying them SEGFAULTS in a fresh
+    "jax + numpy only" serving process (pre-existing bug found in round 5;
+    regression-guarded by test_serving.py's custom-call scan). The
+    adjugate form is pure arithmetic — custom-call-free on every backend —
+    and a handful of FMAs beats a batched LU for camera matrices anyway.
+    """
+    a, b, c = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
+    d, e, f = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
+    g, h, i = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
+    co_a = e * i - f * h
+    co_b = f * g - d * i
+    co_c = d * h - e * g
+    det = a * co_a + b * co_b + c * co_c
+    adj = jnp.stack([
+        jnp.stack([co_a, c * h - b * i, b * f - c * e], -1),
+        jnp.stack([co_b, a * i - c * g, c * d - a * f], -1),
+        jnp.stack([co_c, b * g - a * h, a * e - b * d], -1),
+    ], -2)
+    return adj / det[..., None, None]
+
+
 def reproject_coords(depth: jnp.ndarray, intrinsics: jnp.ndarray,
                      t_tgt2src: jnp.ndarray, eps: float = 1e-6
                      ) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -39,7 +66,7 @@ def reproject_coords(depth: jnp.ndarray, intrinsics: jnp.ndarray,
     ones = jnp.ones((h, w, 1), depth.dtype)
     pix_h = jnp.concatenate([grid, ones], axis=-1)               # [H, W, 3]
 
-    k_inv = jnp.linalg.inv(intrinsics)                           # [N, 3, 3]
+    k_inv = inv3x3(intrinsics)                                   # [N, 3, 3]
     rays = _einsum("nij,hwj->nhwi", k_inv, pix_h)             # [N, H, W, 3]
     pts_tgt = rays * depth[..., None]                            # X_tgt
 

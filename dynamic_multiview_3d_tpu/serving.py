@@ -38,13 +38,47 @@ from __future__ import annotations
 
 import io
 import json
+import re
 import zipfile
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax import export as jax_export
 
 MANIFEST_VERSION = 1
+
+
+def _custom_call_targets(exported) -> set[str]:
+    """Custom-call targets embedded in an exported module.
+
+    A truly self-contained artifact has NONE: StableHLO custom calls name
+    process-local FFI handlers (LAPACK kernels, etc.) that a fresh
+    "jax + numpy only" serving process may never register — executing an
+    unregistered target SEGFAULTS XLA:CPU outright (round-5 find: a 3x3
+    ``jnp.linalg.inv`` in the reprojection path shipped
+    ``lapack_sgetrf_ffi`` into every multidepth artifact; fixed by the
+    closed-form ``ops/reproject.inv3x3``). Export records the list in the
+    manifest for audit; load preempts the known-dangerous ones.
+    """
+    txt = exported.mlir_module()
+    # both textual forms: `stablehlo.custom_call @target(...)` and the
+    # attribute form `custom_call_target = "target"`
+    return (set(re.findall(r"stablehlo\.custom_call @([\w.]+)", txt))
+            | set(re.findall(r'custom_call_target = "([^"]+)"', txt)))
+
+
+def _preregister_lapack() -> None:
+    """Force jaxlib's lazy LAPACK FFI registration in this process.
+
+    jaxlib registers the lapack_* FFI handlers only when a linalg op is
+    traced live (the lowering path imports jaxlib's lapack module, whose
+    import registers every handler); deserialized modules skip that path,
+    so their LAPACK custom calls would hit an unregistered target (a
+    segfault, not an error). Lowering one tiny inverse triggers the
+    import — verified to unbreak pre-fix artifacts in a fresh process.
+    """
+    jax.jit(jnp.linalg.inv).lower(jnp.eye(3, dtype=np.float32)).compile()
 
 
 def _flatten(params, prefix=""):
@@ -111,6 +145,7 @@ def export_predict(model, path: str, batch: int = 1,
     param_args = tuple(jax.ShapeDtypeStruct(flat[n].shape, flat[n].dtype)
                        for n in names)
     blobs, signatures, exported_platforms = {}, {}, None
+    custom_calls: set[str] = set()
     for t in ts:
         args = (
             param_args,
@@ -123,6 +158,7 @@ def export_predict(model, path: str, batch: int = 1,
         entry = ("predict.stablehlo" if t == ts[0]
                  else f"predict_T{t}.stablehlo")
         blobs[entry] = exported.serialize()
+        custom_calls |= _custom_call_targets(exported)
         signatures[str(t)] = {
             "module": entry,
             "image_seq": [batch, t, s, s, 3],
@@ -141,6 +177,9 @@ def export_predict(model, path: str, batch: int = 1,
         "tgt_poses": [batch, num_targets, 3],
         "view": [batch, num_targets, s, s, 3],
         "signatures": signatures,
+        # audit: FFI handlers the modules require at execution time —
+        # empty for a truly self-contained artifact (see _custom_call_targets)
+        "custom_calls": sorted(custom_calls),
         "param_names": names,
         # default source pose rides IN the artifact so the loader never
         # imports this package's model code ("jax + numpy only")
@@ -185,6 +224,13 @@ class ServedModel:
         """Source counts this artifact serves, primary first."""
         return tuple(self._calls)
 
+    def call_for(self, seq_len: int | None = None):
+        """The jitted entry point for one source count (default: primary).
+        Signature: call(params_tuple, image_seq, src_poses, tgt_poses) —
+        the validation-free path benchmarks time directly."""
+        t = self.seq_lens[0] if seq_len is None else seq_len
+        return self._calls[t]
+
     @classmethod
     def load(cls, path: str) -> "ServedModel":
         with zipfile.ZipFile(path) as z:
@@ -203,6 +249,14 @@ class ServedModel:
             raise ValueError(
                 f"artifact version {manifest['version']} is newer than this "
                 f"loader ({MANIFEST_VERSION})")
+        # pre-"custom_calls" artifacts: scan the deserialized modules so the
+        # lapack guard below still protects them
+        targets = manifest.get("custom_calls")
+        if targets is None:
+            targets = sorted(set().union(*(
+                _custom_call_targets(e) for e in exported_by_t.values())))
+        if any(t.startswith("lapack_") for t in targets):
+            _preregister_lapack()
         return cls(exported_by_t, flat, manifest, cfg_dict)
 
     def predict(self, image_seq, target_poses, source_poses=None,

@@ -15,6 +15,21 @@ def _k(h, w, f=None):
         jnp.full((1,), f), (w - 1) / 2.0, (h - 1) / 2.0)
 
 
+def test_inv3x3_matches_numpy(rng):
+    """Closed-form adjugate inverse == np.linalg.inv on random
+    well-conditioned batches AND real intrinsics matrices. inv3x3 exists
+    so exported artifacts carry no LAPACK custom calls (fresh-process
+    serving segfault, round 5 — see test_serving.py)."""
+    m = rng.uniform(-1, 1, (16, 3, 3)).astype(np.float32)
+    m += 3.0 * np.eye(3, dtype=np.float32)          # keep well-conditioned
+    got = np.asarray(R.inv3x3(jnp.asarray(m)))
+    want = np.linalg.inv(m)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
+    k = np.asarray(_k(64, 64)).repeat(4, axis=0)
+    np.testing.assert_allclose(np.asarray(R.inv3x3(jnp.asarray(k))),
+                               np.linalg.inv(k), rtol=1e-5, atol=1e-7)
+
+
 def test_identity_pose_gives_identity_field():
     h = w = 8
     depth = jnp.full((1, h, w), 2.0)

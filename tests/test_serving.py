@@ -123,6 +123,46 @@ def test_default_pose_rides_in_the_manifest(artifact, rng):
     np.testing.assert_allclose(got, want, atol=1e-6)
 
 
+def test_artifact_is_custom_call_free_and_loads_in_fresh_process(tmp_path, rng):
+    """Round-5 segfault regression. The multidepth reprojection path used
+    ``jnp.linalg.inv`` for the 3x3 intrinsics, which lowers to LAPACK FFI
+    custom calls on CPU; jaxlib registers those handlers only when a
+    linalg op is traced LIVE, so a fresh "jax + numpy only" serving
+    process executing the deserialized module SEGFAULTED outright. Two
+    guards: (1) exports are custom-call-free (ops/reproject.inv3x3),
+    recorded in the manifest for audit; (2) the artifact actually loads
+    and predicts in a genuinely fresh python process."""
+    import dataclasses
+    import os
+    import subprocess
+    import sys
+    cfg = _tiny_cfg()
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, synthesis="multidepth"),
+        data=dataclasses.replace(cfg.data, seq_len=3, src_views="orbit"))
+    model = Model.init_random(cfg, seed=0)
+    path = str(tmp_path / "fresh.dmv3d")
+    manifest = serving.export_predict(model, path, batch=2, num_targets=2)
+    assert manifest["custom_calls"] == [], manifest["custom_calls"]
+    driver = (
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "import sys, numpy as np\n"
+        f"sys.path.insert(0, {os.getcwd()!r})\n"
+        "from dynamic_multiview_3d_tpu import serving\n"
+        f"served = serving.ServedModel.load({path!r})\n"
+        "m = served.manifest\n"
+        "rng = np.random.default_rng(0)\n"
+        "seq = rng.uniform(-1, 1, m['image_seq']).astype(np.float32)\n"
+        "src = (rng.uniform(0, 1, m['src_poses']) + [0, 0, 1]).astype(np.float32)\n"
+        "tgt = (rng.uniform(0, 1, m['tgt_poses']) + [0, 0, 1]).astype(np.float32)\n"
+        "out = np.asarray(served.predict(seq, tgt, source_poses=src))\n"
+        "print('FRESH_OK', out.shape)\n")
+    proc = subprocess.run([sys.executable, "-c", driver],
+                          capture_output=True, text=True, timeout=600)
+    assert proc.returncode == 0, (proc.returncode, proc.stderr[-2000:])
+    assert "FRESH_OK" in proc.stdout
+
+
 def test_multi_seq_len_artifact_dispatches_on_source_count(tmp_path, rng):
     """seq_len=(2, 4) exports one StableHLO signature per T into ONE
     artifact; the loader dispatches on image_seq.shape[1] and each branch
