@@ -48,6 +48,10 @@ def main(argv=None) -> None:
                         "scene-holdout when --data-root points at a "
                         "scene-disjoint export (the label cannot be "
                         "inferred from the root alone)")
+    p.add_argument("--grid", default=None,
+                   help="also write a source|prediction|target PNG grid of "
+                        "the first 4 eval examples to this path (the sample "
+                        "grids shown in BASELINE.md)")
     args = p.parse_args(argv)
 
     model = Model.from_checkpoint(args.ckpt)
@@ -106,6 +110,20 @@ def main(argv=None) -> None:
               # must be traceable to a training run + step, ADVICE r4)
               "ckpt": os.path.abspath(args.ckpt),
               "ckpt_step": ckpt_step}
+    if args.grid:
+        import imageio.v2 as imageio
+        gb = src.batch(range(args.eval_seed, args.eval_seed + 4))
+        gv = fwd(model.params, jax.device_put(gb))
+
+        def u8(x):
+            return np.clip((np.asarray(x, np.float32) + 1) * 127.5,
+                           0, 255).astype(np.uint8)
+
+        rows = [np.concatenate([u8(gb["image_seq"][i, -1]), u8(gv[i, 0]),
+                                u8(gb["tgt_images"][i, 0])], axis=1)
+                for i in range(4)]
+        imageio.imwrite(args.grid, np.concatenate(rows, axis=0))
+        result["grid"] = args.grid
     print(json.dumps(result))
 
 

@@ -83,3 +83,34 @@ def test_predict_multisource_requires_source_poses(rng):
     src = rng.uniform(0, 1, (2, 3, 3)).astype(np.float32) + [0, 0, 1]
     views = m.predict(seq, tgt, source_poses=src)
     assert views.shape == (2, 1, 32, 32, 3)
+
+
+def test_eval_cli_writes_grid_and_provenance(tmp_path, capsys):
+    """cli.eval --grid renders the source|prediction|target PNG whose
+    committed instances document BASELINE.md's quality rows (round 5:
+    the grid tool is part of the CLI, not a side script)."""
+    import json
+
+    from dynamic_multiview_3d_tpu import config as config_lib
+    from dynamic_multiview_3d_tpu.api import Model
+    from dynamic_multiview_3d_tpu.cli import eval as eval_cli
+
+    cfg = config_lib.Config(
+        model=config_lib.ModelConfig(
+            image_size=32, num_levels=3, base_features=8, max_features=32,
+            gru_features=16, pose_embed_dim=16, dtype="float32",
+            use_pallas=False),
+        data=config_lib.DataConfig(image_size=32, seq_len=2, num_targets=2,
+                                   num_scenes=4),
+    )
+    model = Model.init_random(cfg, seed=0)
+    ckpt = str(tmp_path / "model")
+    model.save_checkpoint(ckpt, step=7)
+    grid = str(tmp_path / "grid.png")
+    eval_cli.main(["--ckpt", ckpt, "--num-batches", "1", "--batch-size",
+                   "2", "--grid", grid])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["ckpt_step"] == 7 and out["grid"] == grid
+    import imageio.v2 as imageio
+    img = imageio.imread(grid)
+    assert img.shape == (4 * 32, 3 * 32, 3)
