@@ -22,7 +22,12 @@ so installing a larger cap is how a larger-than-model block is exercised).
 from __future__ import annotations
 
 import datetime
+import os
 import sys
+
+# Robust under `python benchmarks/probe_multiflow_pb.py` (which puts
+# benchmarks/ — not the repo root — on sys.path).
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

@@ -78,16 +78,20 @@ def main():
     p.add_argument("ckpt", nargs="?", default="/root/runs/c3mf_ckpt/model")
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--targets", type=int, default=8)
+    p.add_argument("--seq-len", type=int, nargs="+", default=None,
+                   help="source count(s) to export; several values produce "
+                        "a multi-signature artifact (timed at the first)")
     p.add_argument("--artifact", default="/tmp/dmv3d_serving_tpu.zip")
     args = p.parse_args()
 
     model = Model.from_checkpoint(args.ckpt)
     cfg = model.cfg
-    t, s = cfg.data.seq_len, cfg.model.image_size
+    ts = tuple(args.seq_len) if args.seq_len else (cfg.data.seq_len,)
+    t, s = ts[0], cfg.model.image_size
     b, k = args.batch, args.targets
 
     t0 = time.perf_counter()
-    serving.export_predict(model, args.artifact, batch=b, seq_len=t,
+    serving.export_predict(model, args.artifact, batch=b, seq_len=ts,
                            num_targets=k, platforms=("tpu",))
     export_s = time.perf_counter() - t0
     size_mb = os.path.getsize(args.artifact) / 1e6
@@ -112,7 +116,7 @@ def main():
 
     # throughput: same loop-differencing on both paths
     params_tuple = served._params
-    call = served._exported.call
+    call = served.call_for(t)
     sec_served, walls_served = loop_time(
         lambda q, pt, sp, tp: call(pt, q, sp, tp), (seq, params_tuple, src, tgt))
     sec_live, walls_live = loop_time(
@@ -122,6 +126,7 @@ def main():
     result = {
         "ckpt": args.ckpt,
         "shape": {"batch": b, "seq_len": t, "targets": k, "size": s},
+        "exported_seq_lens": list(ts),
         "platforms": served.manifest["platforms"],
         "artifact_mb": round(size_mb, 2),
         "export_s": round(export_s, 2),
